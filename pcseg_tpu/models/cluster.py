@@ -1,0 +1,148 @@
+"""Euclidean cluster segmentation (the reference's SegmentRegions<ClusterRegion>).
+
+TPU reformulation of /root/reference/pointcloud_segmentation/cluster_region.h
++ the generic driver segmentation.h:239-292:
+
+  * membership: gated connected components over the (2w+1)^2 window
+    (closure of the BFS source-distance gate — exact on the reference's
+    golden fixture, see ops/connectivity.py).
+  * region identity: the reference assigns dense ids in acceptance order,
+    which equals the order of each component's earliest-popped seed
+    (seeds are consumed back-to-front, segmentation.h:254-255); rejected
+    components quarantine until call end and then revert to kUnlabeled
+    (segmentation.h:277-291), so they never affect final labels.
+  * size filter: >= min_region_inliers (cluster_region.h:111-116).
+
+Known divergence (bounded, documented): the reference enqueues each point at
+most once per region attempt; a candidate rejected through its first source
+is only re-enqueued by members processed *after* its rejection
+(segmentation.h:265-275 + cluster_region.h:104-106). A point all of whose
+tau-neighbors were processed before its rejection is therefore permanently
+excluded even though it is closure-reachable. Closure includes it. On
+geometrically coherent clouds (the golden fixture, depth scenes) the two
+agree exactly; on adversarial i.i.d.-random clouds the measured disagreement
+is <1% of points — inside the >=99% per-point label-agreement budget
+(BASELINE.md north star).
+
+Everything runs in one jitted program: CCL fixed point + segment reductions
++ one sort for dense id assignment.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import UNLABELED, ClusterRegionConfig
+from pcseg_tpu.ops import connectivity
+
+
+class ClusterResult(NamedTuple):
+    labels: jnp.ndarray        # [H, W] int32 — final label grid
+    num_regions: jnp.ndarray   # scalar int32
+    region_sizes: jnp.ndarray  # [max_regions] int32 (0 past num_regions)
+    roots: jnp.ndarray         # [H, W] int32 component roots (diagnostic)
+
+
+def segment_clusters(points: jnp.ndarray,
+                     labels: jnp.ndarray,
+                     seed_indices: jnp.ndarray,
+                     config: ClusterRegionConfig = ClusterRegionConfig(),
+                     initial_id_offset: int = 0,
+                     seed_valid: Optional[jnp.ndarray] = None) -> ClusterResult:
+    """Segment euclidean clusters on an organized grid.
+
+    Args:
+      points: [H, W, 3] (NaN = invalid; never joins a cluster).
+      labels: [H, W] int32 input labels; only UNLABELED points participate
+        (pre-labeled planar regions / masks are untouched).
+      seed_indices: [S] int32 col-major linear seed indices in the
+        *reference vector order* (the driver pops back-to-front, so the
+        last entry is tried first — segmentation.h:254-255).
+      config: cluster parameters.
+      initial_id_offset: added to every assigned region id
+        (segmentation.h:271).
+      seed_valid: optional [S] bool mask for padded seed arrays.
+
+    Returns ClusterResult with dense region ids assigned exactly like the
+    reference (verified against clustering_test.cc:127-151).
+    """
+    h, w = points.shape[0], points.shape[1]
+    hw = h * w
+    big = jnp.int32(hw)
+    inf = jnp.int32(2**31 - 1)
+
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    eligible = (labels == UNLABELED) & finite
+
+    roots = connectivity.connected_components_window(
+        points, eligible,
+        jnp.asarray(config.squared_distance_threshold, points.dtype),
+        config.half_search_window)
+
+    # --- seed pop priorities -------------------------------------------------
+    s = seed_indices.shape[0]
+    pop_pos = (s - 1) - jnp.arange(s, dtype=jnp.int32)  # last entry pops first
+    if seed_valid is not None:
+        pop_pos = jnp.where(seed_valid, pop_pos, inf)
+    # eligibility of the seed point itself (pre-labeled seeds are skipped,
+    # segmentation.h:258-260)
+    elig_cm = connectivity._lookup_colmajor(
+        eligible, jnp.clip(seed_indices, 0, hw - 1).reshape(1, -1),
+        h, w, False).reshape(-1)
+    pop_pos = jnp.where(elig_cm, pop_pos, inf)
+
+    prio_grid_flat_cm = jnp.full((hw,), inf, jnp.int32)
+    prio_grid_flat_cm = prio_grid_flat_cm.at[
+        jnp.clip(seed_indices, 0, hw - 1)].min(pop_pos)
+    # convert to row-major grid to align with roots
+    prio_grid = prio_grid_flat_cm.reshape(w, h).T
+
+    # --- per-component reductions (keyed by col-major root index) -----------
+    sizes = connectivity.segment_field(
+        eligible.astype(jnp.int32), roots, eligible, h, w, "sum")
+    min_prio = connectivity.segment_field(
+        jnp.where(eligible, prio_grid, inf), roots, eligible, h, w, "min")
+
+    accepted = (sizes >= config.min_region_inliers) & (min_prio < inf)
+
+    # --- dense ids in acceptance order (ascending founding-seed pop pos) ----
+    sort_key = jnp.where(accepted, min_prio, inf)
+    order = jnp.argsort(sort_key)                      # [HW]
+    ranks_sorted = jnp.cumsum(accepted[order].astype(jnp.int32)) - 1
+    region_id_by_root = jnp.full((hw,), -1, jnp.int32).at[order].set(
+        jnp.where(accepted[order], ranks_sorted, -1))
+    num_regions = jnp.sum(accepted.astype(jnp.int32))
+
+    point_region = region_id_by_root[jnp.clip(roots, 0, hw - 1)]
+    point_region = jnp.where((roots < hw) & eligible, point_region, -1)
+    new_labels = jnp.where(point_region >= 0,
+                           point_region + initial_id_offset, labels)
+
+    # --- bounded per-region size table --------------------------------------
+    max_regions = config.max_regions
+    region_sizes = jnp.zeros((max_regions,), jnp.int32)
+    valid_root = accepted & (region_id_by_root < max_regions) \
+        & (region_id_by_root >= 0)
+    region_sizes = region_sizes.at[
+        jnp.where(valid_root, region_id_by_root, max_regions - 1)].add(
+        jnp.where(valid_root, sizes, 0), mode="drop")
+
+    return ClusterResult(labels=new_labels, num_regions=num_regions,
+                         region_sizes=region_sizes, roots=roots)
+
+
+def gather_region_indices(labels, region_id, order="colmajor"):
+    """Host helper: col-major linear indices of a region's members, ascending.
+
+    The reference's inlier lists follow BFS discovery order; we normalize to
+    ascending col-major index (documented divergence — the *set* is what the
+    outputs depend on)."""
+    import numpy as np
+    lbl = np.asarray(labels)
+    h = lbl.shape[0]
+    rows, cols = np.nonzero(lbl == region_id)
+    idx = cols * h + rows
+    return np.sort(idx)

@@ -1,0 +1,129 @@
+"""Gated connected-component labeling on dense grids — the TPU replacement
+for the reference's FIFO region-growing of euclidean clusters.
+
+The reference grows clusters by sequential BFS with a per-step distance gate
+(/root/reference/pointcloud_segmentation/cluster_region.h:85-150): candidate
+``c`` enqueued by source ``s`` joins iff ``||p_c - p_s||^2 < tau``. The
+accepted membership equals the *closure* of the gated-adjacency graph: all
+points reachable from the seed through window edges shorter than tau
+(verified exactly against the reference's golden 10x10 fixture,
+clustering_test.cc:127-151).
+
+TPU formulation: iterated **min-label propagation** over the gated window
+graph with **pointer jumping** (path compression) — converges in
+O(log diameter) rounds instead of O(diameter) wavefronts. All components
+are labeled simultaneously; seed priority and size filtering happen in a
+cheap post-pass (see models/cluster.py). Everything is static-shaped and
+jit/shard_map friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _shift2(arr, dr, dc, fill):
+    """shifted[r, c] = arr[r + dr, c + dc] (out of bounds -> fill)."""
+    h, w = arr.shape[0], arr.shape[1]
+    out = jnp.full_like(arr, fill)
+    if abs(dr) >= h or abs(dc) >= w:
+        return out
+    rs_src = slice(max(0, dr), h + min(0, dr))
+    cs_src = slice(max(0, dc), w + min(0, dc))
+    rs_dst = slice(max(0, -dr), h + min(0, -dr))
+    cs_dst = slice(max(0, -dc), w + min(0, -dc))
+    return out.at[rs_dst, cs_dst].set(arr[rs_src, cs_src])
+
+
+def colmajor_index_grid(h, w):
+    """[H, W] int32 grid of col-major linear indices (idx = col*H + row),
+    matching the reference's cloud.h:38-41 convention."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return cols * h + rows
+
+
+def _lookup_colmajor(values_grid, indices, h, w, fill):
+    """Gather values_grid at col-major linear ``indices`` ([H, W] int32)."""
+    r = indices % h
+    c = indices // h
+    flat = values_grid.reshape(-1)
+    safe = jnp.clip(r * w + c, 0, h * w - 1)
+    out = flat[safe.reshape(-1)].reshape(indices.shape)
+    return jnp.where(indices >= h * w, fill, out)
+
+
+def connected_components_window(points, eligible, squared_threshold,
+                                half_window, max_iters=256,
+                                num_jumps=2):
+    """Component root (min col-major member index) for every grid point.
+
+    Args:
+      points: [H, W, 3] float coordinates (NaN never links — NaN distance
+        fails the gate, mirroring cluster_region.h:94).
+      eligible: [H, W] bool — points allowed to participate (the reference's
+        ``label == kUnlabeled`` gate, cluster_region.h:140).
+      squared_threshold: edge gate ``||p - q||^2 < tau``.
+      half_window: window radius w; neighbors are the (2w+1)^2 - 1 cells.
+      max_iters: fixed-point bound.
+      num_jumps: pointer-jumping steps per round.
+
+    Returns:
+      [H, W] int32: per point, the minimum col-major linear index of its
+      component (== itself for isolated points); H*W (BIG) where ineligible.
+    """
+    h, w = points.shape[0], points.shape[1]
+    big = jnp.int32(h * w)
+
+    # Precompute gate masks per offset (static python loop over the window).
+    offsets = [(dr, dc)
+               for dc in range(-half_window, half_window + 1)
+               for dr in range(-half_window, half_window + 1)
+               if (dr, dc) != (0, 0)]
+    gates = []
+    for dr, dc in offsets:
+        np_shift = _shift2(points, dr, dc, jnp.nan)
+        d2 = jnp.sum(jnp.square(np_shift - points), axis=-1)
+        ok = (d2 < squared_threshold) & eligible \
+            & _shift2(eligible, dr, dc, False)
+        gates.append(ok)
+
+    init = jnp.where(eligible, colmajor_index_grid(h, w), big)
+
+    def one_round(labels):
+        new = labels
+        for (dr, dc), gate in zip(offsets, gates):
+            nb = _shift2(labels, dr, dc, big)
+            new = jnp.minimum(new, jnp.where(gate, nb, big))
+        for _ in range(num_jumps):
+            jumped = _lookup_colmajor(new, new, h, w, big)
+            new = jnp.where(eligible, jnp.minimum(new, jumped), big)
+        return new
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < max_iters) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        return one_round(labels), labels, it + 1
+
+    first = one_round(init)
+    labels, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    return labels
+
+
+def segment_field(values, roots, eligible, h, w, reduce="sum"):
+    """Reduce ``values`` ([H, W]) over components given col-major ``roots``.
+
+    Returns a flat [H*W] array indexed by col-major root index.
+    """
+    seg = roots.reshape(-1)
+    vals = jnp.where(eligible, values, 0 if reduce == "sum" else values)
+    flat = vals.reshape(-1)
+    if reduce == "sum":
+        return jax.ops.segment_sum(flat, seg, num_segments=h * w + 1)[:h * w]
+    if reduce == "min":
+        return jax.ops.segment_min(flat, seg, num_segments=h * w + 1)[:h * w]
+    raise ValueError(reduce)

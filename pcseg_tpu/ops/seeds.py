@@ -1,0 +1,215 @@
+"""Seed-point finders for planar region growing — dense TPU reformulations.
+
+Replaces the two finders of
+/root/reference/pointcloud_segmentation/segmentation.h:
+  * FindSeedPointsFromAverageNormals (:136-184) — sliding-window average
+    normal length as a local planarity score; here a pair of separable box
+    filters over the whole grid at once.
+  * FindSeedPointsFromPlaneSupport (:190-230) — per-pixel plane support
+    counting over an NxN window, ranked ascending so the driver (which pops
+    seeds back-to-front, :254-255) processes the best-supported seeds first;
+    here (2h+1)^2 shifted plane-distance tests + one device sort.
+
+Parity quirk (replicated consciously): both reference finders index the
+grids *transposed* — ``points.AtUnsafe(col, row)`` against a (row, col)
+signature (segmentation.h:66,104,208-209 and the sliding-window updates
+:93-104). On the square grids every fixture uses this reads the transposed
+grid; on non-square grids the C++ reads out of bounds. We compute the
+natural orientation on the transposed arrays, which is bit-equivalent on
+square grids and well-defined (in-bounds) on rectangular ones.
+
+The reference's weighted-average recurrence (:112-117) is algebraically
+sum_i n_i * S_i / sum_i n_i over the window's per-row normal *sums* S_i
+(not the plain mean — S_i enters unnormalized), and a window whose first
+row has no valid normals hits a 0/0 that NaN-poisons the whole window
+(rejecting it); both behaviors are replicated exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import (
+    SeedsFromAverageNormalsParams, SeedsFromPlaneSupportParams)
+from pcseg_tpu.ops.normals import _shift
+
+
+def _box_sum_trailing(arr, n, axis):
+    """Trailing box sum of length n along ``axis``: out[..k..] =
+    sum(arr[.., k-n+1 : k+1, ..]) (partial near the leading edge)."""
+    cs = jnp.cumsum(arr, axis=axis)
+    shifted = jnp.roll(cs, n, axis=axis)
+    # zero the wrapped part
+    idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape[:2], axis)
+    if arr.ndim > 2:
+        idx = idx[..., None]
+    shifted = jnp.where(idx >= n, shifted, 0)
+    return cs - shifted
+
+
+def _box_sum_centered(arr, half, axis):
+    """Centered box sum of radius ``half`` along ``axis`` (truncated at the
+    borders)."""
+    n = 2 * half + 1
+    trailing = _box_sum_trailing(arr, n, axis)
+    return jnp.roll(trailing, -half, axis=axis) if half else trailing
+
+
+class SeedMask(NamedTuple):
+    mask: jnp.ndarray        # [H, W] bool — (r, c) produces a seed
+    seed_index: jnp.ndarray  # [H, W] int32 — emitted col-major linear index
+    score: jnp.ndarray       # [H, W] — squared avg normal length / count
+
+
+def seeds_from_average_normals(
+        normals: jnp.ndarray,
+        params: SeedsFromAverageNormalsParams = SeedsFromAverageNormalsParams(),
+) -> SeedMask:
+    """FindSeedPointsFromAverageNormals (segmentation.h:136-184), dense.
+
+    normals: [H, W, 3]. Emits for position (r, c) the seed index
+    ``lin(r, c) - half`` (the reference re-centers the seed half a window
+    back along the minor axis, :178-179).
+    """
+    h, w = normals.shape[0], normals.shape[1]
+    nbh = params.neighborhood_size
+    half = nbh // 2
+
+    if h < nbh or w < nbh:
+        z = jnp.zeros((h, w), bool)
+        return SeedMask(z, jnp.zeros((h, w), jnp.int32),
+                        jnp.zeros((h, w), normals.dtype))
+
+    # Work on the transposed grid (see module docstring).
+    nt = jnp.swapaxes(normals, 0, 1)  # [W, H, 3]
+    valid = jnp.all(jnp.isfinite(nt), axis=-1)
+    nvals = jnp.where(valid[..., None], nt, 0.0)
+
+    # Per-row (axis0 of nt) trailing sums along axis1 over nbh columns:
+    # S[a, c] = sum_j nt[a, c-j], counts likewise.
+    s = _box_sum_trailing(nvals, nbh, axis=1)                   # [W, H, 3]
+    cnt = _box_sum_trailing(valid.astype(nt.dtype), nbh, axis=1)  # [W, H]
+
+    # Weighted combine over window rows a in r +- half (axis0):
+    # avg = sum_a cnt*S / sum_a cnt  — the reference recurrence's closed form.
+    numer = _box_sum_centered(cnt[..., None] * s, half, axis=0)
+    denom = _box_sum_centered(cnt, half, axis=0)
+
+    avg = numer / jnp.where(denom > 0, denom, 1.0)[..., None]
+    score = jnp.sum(avg * avg, axis=-1)
+
+    # 0/0 NaN-poisoning: the first window row (a = r - half) must have at
+    # least one valid normal (segmentation.h:112-116 divides by a zero
+    # running total otherwise and the NaN sticks).
+    first_cnt = _shift(cnt, half, 0, 0.0)  # first_cnt[r] = cnt[r - half]
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+
+    # Position (a, b) of the transposed computation is the reference's loop
+    # (row=a in [half, H-half), col=b in [nbh-1, W)) — on a square grid these
+    # bounds coincide with the array extents; on rectangular grids the C++
+    # is out-of-bounds UB and we simply keep everything in range.
+    min_sq = params.min_avg_normal_length ** 2
+    mask_t = ((rows_t >= half) & (rows_t < h - half)
+              & (cols_t >= nbh - 1) & (cols_t < w)
+              & (denom >= params.min_num_valid_normals)
+              & (first_cnt > 0)
+              & (score >= min_sq))
+
+    # mask_t / score are [W, H]-shaped but indexed by (row, col); crop or
+    # pad to the [H, W] output frame.
+    def to_hw(arr, fill):
+        out = jnp.full((h, w), fill, arr.dtype)
+        hh, ww = min(h, arr.shape[0]), min(w, arr.shape[1])
+        return out.at[:hh, :ww].set(arr[:hh, :ww])
+
+    mask = to_hw(mask_t, False)
+    score_rc = to_hw(score, jnp.asarray(0.0, score.dtype))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    seed_index = cols * h + rows - half
+    return SeedMask(mask=mask, seed_index=seed_index, score=score_rc)
+
+
+def average_normal_seed_list(seed_mask: SeedMask, max_seeds: int):
+    """Ranked seed vector in the reference's emit order (row-outer then
+    column scan, segmentation.h:159-181): returns (indices [max_seeds],
+    valid [max_seeds]); the driver pops back-to-front."""
+    h, w = seed_mask.mask.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    scan_pos = rows * w + cols  # row-outer scan order
+    inf = jnp.int32(2**31 - 1)
+    key = jnp.where(seed_mask.mask, scan_pos, inf).reshape(-1)
+    order = jnp.argsort(key)[:max_seeds]
+    valid = key[order] < inf
+    indices = seed_mask.seed_index.reshape(-1)[order]
+    return jnp.where(valid, indices, 0), valid
+
+
+class RankedSeeds(NamedTuple):
+    indices: jnp.ndarray  # [max_seeds] int32 col-major linear indices
+    valid: jnp.ndarray    # [max_seeds] bool
+    count: jnp.ndarray    # [H, W] int32 support counts (diagnostic)
+
+
+def seeds_from_plane_support(
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        params: SeedsFromPlaneSupportParams = SeedsFromPlaneSupportParams(),
+) -> RankedSeeds:
+    """FindSeedPointsFromPlaneSupport (segmentation.h:190-230), dense.
+
+    Returns the ranked seed vector in the reference's order: ascending
+    support count, ties by scan position (multimap insertion order, which
+    equals the col-major linear index) — the driver pops back-to-front so
+    the best seed is consumed first.
+    """
+    h, w = points.shape[0], points.shape[1]
+    half = params.neighborhood_size // 2
+    max_seeds = params.max_seeds
+
+    if h < params.neighborhood_size or w < params.neighborhood_size:
+        return RankedSeeds(jnp.zeros((max_seeds,), jnp.int32),
+                           jnp.zeros((max_seeds,), bool),
+                           jnp.zeros((h, w), jnp.int32))
+
+    # Transposed-access parity (module docstring): evaluate on transposes.
+    pt = jnp.swapaxes(points, 0, 1)   # [W, H, 3]
+    nt = jnp.swapaxes(normals, 0, 1)
+
+    center_ok = (jnp.all(jnp.isfinite(pt), axis=-1)
+                 & jnp.all(jnp.isfinite(nt), axis=-1))
+    d = -jnp.sum(nt * pt, axis=-1)    # plane offset per pixel
+
+    count = jnp.zeros(pt.shape[:2], jnp.int32)
+    for dr in range(-half, half + 1):
+        for dc in range(-half, half + 1):
+            q = _shift(pt, -dr, -dc, jnp.nan)  # q[a,b] = pt[a+dr, b+dc]
+            dist = jnp.abs(jnp.sum(nt * q, axis=-1) + d)
+            count = count + (dist < params.max_plane_distance).astype(
+                jnp.int32)
+
+    qualifies = center_ok & (count >= params.min_num_support_points)
+
+    # seed index at transposed position (a=row, b=col): lin(row, col, h)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, pt.shape[:2], 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, pt.shape[:2], 1)
+    lin_idx = cols_t * h + rows_t
+
+    # multimap order: (count asc, insertion order asc); insertion scan is
+    # col-outer/row-inner == ascending col-major linear index. int32 key is
+    # safe while (window_area+1) * H * W < 2^31 (VGA: ~25M; 10M-pt grids
+    # with the default 9x9 window: ~830M).
+    inf = jnp.int32(2**31 - 1)
+    key = jnp.where(qualifies,
+                    count * (h * w) + lin_idx,
+                    inf).reshape(-1)
+    order = jnp.argsort(key)[:max_seeds]
+    valid = key[order] < inf
+    indices = lin_idx.reshape(-1)[order]
+    return RankedSeeds(indices=jnp.where(valid, indices, 0), valid=valid,
+                       count=jnp.swapaxes(count, 0, 1))

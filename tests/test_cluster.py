@@ -1,0 +1,104 @@
+"""Cluster segmentation: TPU CCL path vs golden fixture and oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import UNLABELED, ClusterRegionConfig
+from pcseg_tpu.models import cluster
+from pcseg_tpu import oracle
+from tests import fixtures
+
+
+def run_tpu(points, seeds, config=ClusterRegionConfig(), offset=0,
+            labels=None):
+    h, w = points.shape[:2]
+    if labels is None:
+        labels = np.full((h, w), UNLABELED, np.int32)
+    fn = jax.jit(lambda p, l, s: cluster.segment_clusters(
+        p, l, s, config, offset))
+    return fn(jnp.asarray(points), jnp.asarray(labels),
+              jnp.asarray(np.asarray(seeds, np.int32)))
+
+
+def run_oracle(points, seeds, config=ClusterRegionConfig(), offset=0,
+               labels=None):
+    h, w = points.shape[:2]
+    if labels is None:
+        labels = np.full((h, w), UNLABELED, np.int32)
+    else:
+        labels = labels.copy()
+    region = oracle.ClusterRegionOracle(config)
+    regions = oracle.segment_regions(region, {"points": points}, list(seeds),
+                                     labels, offset)
+    return labels, regions
+
+
+class TestGoldenFixture:
+    def test_exact_labels_and_sizes(self):
+        points = fixtures.clustering_fixture_cloud()
+        seeds = fixtures.clustering_fixture_seeds()
+        res = run_tpu(points, seeds, offset=1)
+        np.testing.assert_array_equal(
+            np.asarray(res.labels), fixtures.CLUSTERING_EXPECTED_LABELS)
+        assert int(res.num_regions) == 6
+        np.testing.assert_array_equal(
+            np.asarray(res.region_sizes)[:6],
+            fixtures.CLUSTERING_EXPECTED_SIZES)
+
+
+class TestOracleParity:
+    def _agree(self, points, seeds, config=ClusterRegionConfig(), offset=0,
+               labels=None):
+        res = run_tpu(points, seeds, config, offset,
+                      None if labels is None else labels)
+        want, regions = run_oracle(points, seeds, config, offset, labels)
+        got = np.asarray(res.labels)
+        agreement = (got == want).mean()
+        return agreement, got, want, regions, res
+
+    def test_random_blobs(self):
+        rng = np.random.default_rng(11)
+        h = w = 24
+        pts = rng.uniform(-10, 10, (h, w, 3)).astype(np.float32)
+        # densify some blobs so clusters form
+        for _ in range(6):
+            r0, c0 = rng.integers(0, h - 6), rng.integers(0, w - 6)
+            base = rng.uniform(-5, 5, 3)
+            pts[r0:r0 + 6, c0:c0 + 6] = (
+                base + rng.normal(0, 0.2, (6, 6, 3))).astype(np.float32)
+        seeds = fixtures.clustering_fixture_seeds(h)
+        agreement, got, want, _, _ = self._agree(pts, seeds)
+        assert agreement == 1.0, agreement
+
+    def test_with_nan_and_premask(self):
+        rng = np.random.default_rng(5)
+        h = w = 20
+        pts = rng.normal(0, 0.3, (h, w, 3)).astype(np.float32)
+        pts[rng.random((h, w)) < 0.1] = np.nan
+        labels = np.full((h, w), UNLABELED, np.int32)
+        labels[:3, :5] = 0  # pretend a planar region claimed these
+        seeds = fixtures.clustering_fixture_seeds(h)
+        agreement, got, want, _, _ = self._agree(
+            pts, seeds, offset=1, labels=labels)
+        # Adversarial i.i.d.-random cloud: closure vs FIFO enqueue-once can
+        # differ on a small set of points (documented in models/cluster.py);
+        # the north-star budget is >= 99% agreement.
+        assert agreement >= 0.99, agreement
+        # pre-labeled region must be untouched
+        np.testing.assert_array_equal(got[:3, :5], 0)
+
+    def test_seed_order_determines_ids(self):
+        """Reversed seed order flips which cluster gets id 0."""
+        pts = fixtures.clustering_fixture_cloud()
+        seeds = list(reversed(fixtures.clustering_fixture_seeds()))
+        agreement, got, want, _, _ = self._agree(pts, seeds)
+        assert agreement == 1.0, agreement
+
+    def test_sparse_seed_subset(self):
+        """Only some points as seeds: unseeded components stay unlabeled."""
+        pts = fixtures.clustering_fixture_cloud()
+        seeds = [oracle.lin(1, 1, 10), oracle.lin(8, 8, 10),
+                 oracle.lin(5, 0, 10)]
+        agreement, got, want, _, _ = self._agree(pts, seeds, offset=3)
+        assert agreement == 1.0, agreement
