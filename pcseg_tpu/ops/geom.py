@@ -89,6 +89,8 @@ def eigh3x3_smallest(cov, prev_normal=None):
       smallest eigenvalue).
     """
     dtype = cov.dtype
+    eps = jnp.asarray(1.1920929e-07 if dtype == jnp.float32 else 2.22e-16,
+                      dtype)
     trace = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
     shift = trace * (1.0 / 3.0)
     eye = jnp.eye(3, dtype=dtype)
@@ -100,29 +102,56 @@ def eigh3x3_smallest(cov, prev_normal=None):
     evals_scaled = _roots_of_depressed_characteristic(scaled)
     evals = evals_scaled * safe_scale[..., None] + shift[..., None]
 
-    # Kernel extraction for the smallest eigenvalue: v spans the null space of
-    # (scaled - e0*I); cross products of two independent columns give it.
-    a = scaled - evals_scaled[..., 0, None, None] * eye
-    col0 = a[..., :, 0]
-    col1 = a[..., :, 1]
-    col2 = a[..., :, 2]
-    c01 = jnp.cross(col0, col1)
-    c02 = jnp.cross(col0, col2)
-    c12 = jnp.cross(col1, col2)
-    n01 = jnp.sum(c01 * c01, axis=-1)
-    n02 = jnp.sum(c02 * c02, axis=-1)
-    n12 = jnp.sum(c12 * c12, axis=-1)
+    def extract_kernel(lam):
+        """Null-space direction of (scaled - lam*I), Eigen's extract_kernel:
+        representative = column with max |diagonal|, crossed with the other
+        two columns, larger result wins. Returns (vec, representative)."""
+        a = scaled - lam[..., None, None] * eye
+        diag = jnp.abs(jnp.stack(
+            [a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1))
+        i0 = jnp.argmax(diag, axis=-1)
+        cols = jnp.swapaxes(a, -1, -2)  # [..., 3(col), 3(row)]
+        c_i0 = jnp.take_along_axis(
+            cols, i0[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+        c_n1 = jnp.take_along_axis(
+            cols, ((i0 + 1) % 3)[..., None, None].astype(jnp.int32),
+            axis=-2)[..., 0, :]
+        c_n2 = jnp.take_along_axis(
+            cols, ((i0 + 2) % 3)[..., None, None].astype(jnp.int32),
+            axis=-2)[..., 0, :]
+        c0 = jnp.cross(c_i0, c_n1)
+        c1 = jnp.cross(c_i0, c_n2)
+        n0 = jnp.sum(c0 * c0, axis=-1)
+        n1 = jnp.sum(c1 * c1, axis=-1)
+        best = jnp.where((n0 > n1)[..., None], c0, c1)
+        norm2 = jnp.maximum(jnp.maximum(n0, n1), FLT_MIN)
+        return best * jax.lax.rsqrt(norm2)[..., None], c_i0
 
-    best = jnp.where(
-        (n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
-        jnp.where((n02 >= n12)[..., None], c02, c12))
-    best_norm2 = jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True),
-                             jnp.asarray(FLT_MIN, dtype))
-    vec = best * jax.lax.rsqrt(best_norm2)
+    # Mirror Eigen computeDirect's eigenvector ordering: extract the most
+    # separated extreme eigenvalue's vector first (well conditioned), then
+    # the other extreme, falling back to the orthogonal complement of the
+    # representative column when the remaining pair is numerically equal.
+    d0 = evals_scaled[..., 2] - evals_scaled[..., 1]
+    d1 = evals_scaled[..., 1] - evals_scaled[..., 0]
+    k_is_two = d0 > d1          # lambda_0 ~ lambda_1: top is most distinct
+    min_sep = jnp.minimum(d0, d1)
+    max_sep = jnp.maximum(d0, d1)
 
-    # Degenerate case (all eigenvalues equal after scaling): any unit vector
-    # is an eigenvector; use +x like Eigen's identity fallback.
-    degenerate = (evals_scaled[..., 2] - evals_scaled[..., 0]) <= 1e-12
+    v0_direct, _ = extract_kernel(evals_scaled[..., 0])
+    v2, repr2 = extract_kernel(evals_scaled[..., 2])
+
+    # near-degenerate pair: orthogonalize the representative against v2
+    ortho = repr2 - jnp.sum(v2 * repr2, axis=-1, keepdims=True) * v2
+    ortho_n2 = jnp.maximum(jnp.sum(ortho * ortho, axis=-1, keepdims=True),
+                           FLT_MIN)
+    v0_ortho = ortho * jax.lax.rsqrt(ortho_n2)
+
+    pair_equal = min_sep <= 2.0 * eps * max_sep
+    v0_from_k2 = jnp.where(pair_equal[..., None], v0_ortho, v0_direct)
+    vec = jnp.where(k_is_two[..., None], v0_from_k2, v0_direct)
+
+    # All three eigenvalues numerically identical: identity basis (+x).
+    degenerate = (evals_scaled[..., 2] - evals_scaled[..., 0]) <= eps
     fallback = jnp.zeros_like(vec).at[..., 0].set(1.0)
     vec = jnp.where(degenerate[..., None], fallback, vec)
 

@@ -42,6 +42,7 @@ from pcseg_tpu.models.config import (
     ComputeNormalsParams, PlanarRegionConfig, ClusterRegionConfig,
     MeanShiftParams, PlaneClassificationConfig, PlaneClass,
 )
+from pcseg_tpu.utils import hostgeom
 
 FLT_MIN = np.float32(1.1754944e-38)
 
@@ -131,6 +132,50 @@ def eig3x3_roots_f32(cov: np.ndarray) -> np.ndarray:
     return roots * scale + shift
 
 
+def eig3x3_smallest_vector_f32(cov: np.ndarray):
+    """(ascending eigenvalues, smallest-eigenvalue eigenvector) mirroring
+    Eigen computeDirect's kernel-extraction order in float32 — stable and
+    deterministic on near-degenerate (line-like) point sets where a generic
+    f64 eigh picks an arbitrary different vector."""
+    cov = cov.astype(np.float32)
+    eps = np.float32(1.1920929e-07)
+    shift = np.float32(np.trace(cov) / 3.0)
+    scaled = cov - shift * np.eye(3, dtype=np.float32)
+    scale = np.float32(np.max(np.abs(scaled)))
+    if scale > 0:
+        scaled = scaled / scale
+    else:
+        scale = np.float32(1.0)
+    evals = eig3x3_roots_f32(cov)
+    ev_sc = (evals - shift) / scale
+
+    def extract_kernel(lam):
+        a = scaled - np.float32(lam) * np.eye(3, dtype=np.float32)
+        i0 = int(np.argmax(np.abs(np.diag(a))))
+        rep = a[:, i0]
+        c0 = np.cross(rep, a[:, (i0 + 1) % 3])
+        c1 = np.cross(rep, a[:, (i0 + 2) % 3])
+        n0, n1 = float(c0 @ c0), float(c1 @ c1)
+        best, n = (c0, n0) if n0 > n1 else (c1, n1)
+        n = max(n, float(FLT_MIN))
+        return (best / np.sqrt(n)).astype(np.float32), rep
+
+    if ev_sc[2] - ev_sc[0] <= eps:
+        return evals, np.array([1.0, 0.0, 0.0], np.float32)
+    d0 = ev_sc[2] - ev_sc[1]
+    d1 = ev_sc[1] - ev_sc[0]
+    if d0 > d1:  # lambda_0 ~ lambda_1 — extract top eigenvector first
+        v2, rep = extract_kernel(ev_sc[2])
+        if min(d0, d1) <= 2.0 * eps * max(d0, d1):
+            ortho = rep - float(v2 @ rep) * v2
+            n = max(float(ortho @ ortho), float(FLT_MIN))
+            return evals, (ortho / np.sqrt(n)).astype(np.float32)
+        v0, _ = extract_kernel(ev_sc[0])
+        return evals, v0
+    v0, _ = extract_kernel(ev_sc[0])
+    return evals, v0
+
+
 class PlaneEstimatorOracle:
     """plane_estimator.cc:26-229, sequential f32."""
 
@@ -195,12 +240,8 @@ class PlaneEstimatorOracle:
         self.up_to_date = True
         cov, centroid = self._cov()
         self.centroid = centroid
-        evals = eig3x3_roots_f32(cov)
+        evals, v = eig3x3_smallest_vector_f32(cov)
         if evals[1] > FLT_MIN:
-            # Eigenvector of the smallest eigenvalue; f64 eigh is within the
-            # reference's own 1e-4 tolerance for valid (non-degenerate) fits.
-            _, evecs = np.linalg.eigh(cov.astype(np.float64))
-            v = evecs[:, 0].astype(np.float32)
             if float(np.dot(self.plane[:3], v)) < 0.0:
                 v = -v
             self.plane = plane_from_normal_point(v, centroid)
@@ -481,54 +522,11 @@ def check_min_rows_and_cols(indices, rows, cols, min_cols, min_rows):
     return (max_x - min_x) > min_cols and (max_y - min_y) > min_rows
 
 
-def convex_hull_2d(pts: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain on [N, 2] float64 -> CCW hull vertices."""
-    pts = np.unique(pts, axis=0)
-    if len(pts) <= 2:
-        return pts
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
-
-    def half(points):
-        out = []
-        for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
-                out.pop()
-            out.append(p)
-        return out
-
-    lower = half(pts)
-    upper = half(pts[::-1])
-    return np.array(lower[:-1] + upper[:-1])
-
-
-def pose_from_plane(plane):
-    """Rotation (columns = plane frame axes) + origin, z = plane normal."""
-    n = plane[:3].astype(np.float64)
-    t = (-plane[3] * plane[:3]).astype(np.float64)
-    ax = np.abs(n)
-    if ax[0] <= ax[1] and ax[0] <= ax[2]:
-        helper = np.array([1.0, 0.0, 0.0])
-    elif ax[1] <= ax[2]:
-        helper = np.array([0.0, 1.0, 0.0])
-    else:
-        helper = np.array([0.0, 0.0, 1.0])
-    x = np.cross(helper, n)
-    x /= np.linalg.norm(x)
-    y = np.cross(n, x)
-    return np.stack([x, y, n], axis=1), t
-
-
 def planar_convex_hull(points, indices, plane):
-    """algorithms.h:527-549 with the intended resize of the output buffer."""
-    rot, t = pose_from_plane(plane)
+    """algorithms.h:527-549 with the intended resize of the output buffer
+    (shared host implementation in utils/hostgeom)."""
     gathered = np.array([at_lin(points, i) for i in indices], np.float64)
-    local = (gathered - t) @ rot  # plane_pose_world applied
-    hull2 = convex_hull_2d(local[:, :2])
-    if len(hull2) == 0:
-        return np.zeros((0, 3), np.float32)
-    lifted = np.concatenate([hull2, np.zeros((len(hull2), 1))], axis=1)
-    return (lifted @ rot.T + t).astype(np.float32)
+    return hostgeom.planar_convex_hull(gathered, plane)
 
 
 def cumulative_polygon_normal(points, indices):
