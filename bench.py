@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: points/sec/chip on a VGA organized cloud.
+
+Runs the full device segmentation forward (normals -> seed ranking ->
+planar region growing -> euclidean clustering) on one chip and compares
+against the single-core C++ baseline (pcseg_tpu/native/cpp_baseline.cc —
+the same algorithms in optimized sequential C++; the reference repo itself
+publishes no numbers and cannot be built offline, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+H, W = 480, 640
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "baseline_cache.json")
+
+
+def measure_cpp_baseline(points) -> float:
+    """Single-core C++ points/sec (cached across runs)."""
+    try:
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cached = json.load(f)
+            if cached.get("shape") == [H, W]:
+                return cached["points_per_sec"]
+    except Exception:
+        pass
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(root, "pcseg_tpu", "native", "cpp_baseline.cc")
+    exe = "/tmp/pcseg_cpp_baseline"
+    data = "/tmp/pcseg_bench_cloud.bin"
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                        "-o", exe, src], check=True, capture_output=True)
+        cm = np.swapaxes(points, 0, 1).reshape(-1, 3).astype(np.float32)
+        with open(data, "wb") as f:
+            f.write(struct.pack("<ii", H, W))
+            f.write(cm.tobytes())
+        best = None
+        for _ in range(3):
+            out = subprocess.run([exe, data], check=True,
+                                 capture_output=True, text=True).stdout
+            total_ms = json.loads(out)["total_ms"]
+            best = total_ms if best is None else min(best, total_ms)
+        pps = H * W / (best / 1e3)
+        os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"shape": [H, W], "points_per_sec": pps,
+                       "total_ms": best}, f)
+        return pps
+    except Exception as e:  # noqa: BLE001 - benchmark must not die
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return float("nan")
+
+
+def main():
+    from pcseg_tpu.utils.synthetic import synthetic_room_cloud
+    points_np, origin_np = synthetic_room_cloud(H, W, f=float(H), seed=1)
+
+    baseline_pps = measure_cpp_baseline(points_np)
+
+    import jax
+    import jax.numpy as jnp
+    from pcseg_tpu.models import pipeline
+
+    seg = pipeline.Segmenter(pipeline.SegmenterConfig())
+    origin = jnp.asarray(origin_np)
+
+    # compile + warmup (distinct input so later runs can't be
+    # result-cached by the execution environment)
+    out = seg.device_forward(jnp.asarray(points_np), origin)
+    _ = np.asarray(out[0])
+
+    # Each iteration uses a perturbed input and forces a host transfer of
+    # the label grid — wall-clock includes the full device execution.
+    iters = 6
+    times = []
+    for i in range(iters):
+        p = jnp.asarray(points_np + np.float32((i + 1) * 1e-5))
+        t0 = time.perf_counter()
+        out = seg.device_forward(p, origin)
+        _ = np.asarray(out[0])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    pps = H * W / dt
+    vs = pps / baseline_pps if baseline_pps == baseline_pps else float("nan")
+    print(json.dumps({
+        "metric": "points_per_sec_per_chip_vga_pipeline",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 3) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""End-to-end frame segmentation pipeline (the reference's composition).
+
+The reference library has no driver; its tests and downstream robot code
+compose: normals -> seed finding -> planar region growing -> classification
+-> euclidean clustering -> detected-object extraction (SURVEY.md §3). This
+module provides that composition as a ``Segmenter``:
+
+  * ``device_forward``: the fully-jittable device portion (normals, seed
+    ranking, planar growth, cluster closure) — one XLA program, the
+    benchmark / graft entry point.
+  * ``segment_frame``: the complete pipeline including the host finalize
+    (boundary/hull/area gates), classification, a second device pass for
+    clustering over the finalized labels, and detected-object extraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcseg_tpu.models import boundary, classify, cluster, extract, planar
+from pcseg_tpu.models.config import (
+    UNLABELED, ClusterRegionConfig, ComputeNormalsParams,
+    PlaneClassificationConfig, PlanarRegionConfig,
+    SeedsFromPlaneSupportParams, SeedsFromAverageNormalsParams,
+    SEMANTIC_UNKNOWN)
+from pcseg_tpu.ops import normals as normals_op
+from pcseg_tpu.ops import seeds as seeds_op
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmenterConfig:
+    normals: ComputeNormalsParams = ComputeNormalsParams()
+    seed_method: str = "plane_support"  # or "average_normals"
+    plane_support_seeds: SeedsFromPlaneSupportParams = \
+        SeedsFromPlaneSupportParams()
+    average_normal_seeds: SeedsFromAverageNormalsParams = \
+        SeedsFromAverageNormalsParams()
+    planar: PlanarRegionConfig = PlanarRegionConfig()
+    cluster: ClusterRegionConfig = ClusterRegionConfig()
+    classification: PlaneClassificationConfig = PlaneClassificationConfig()
+    up_direction: tuple = (0.0, 0.0, 1.0)
+    known_floor_point: tuple = (0.0, 0.0, -1.0)
+    run_clustering: bool = True
+    max_region_attempts: int = 256
+
+
+class FrameMetrics(NamedTuple):
+    """Per-stage counters (the observability pytree; SURVEY.md §5)."""
+    num_seeds: int
+    num_device_planar_regions: int
+    num_planar_regions: int
+    num_clusters: int
+    planar_overflow: bool
+
+
+@dataclasses.dataclass
+class FrameResult:
+    labels: np.ndarray                 # [H, W] final label grid
+    normals: np.ndarray                # [H, W, 3]
+    planar_regions: List               # PlanarRegionRecord (classified)
+    num_clusters: int
+    cluster_sizes: np.ndarray
+    objects: List[extract.DetectedObject]
+    metrics: FrameMetrics
+    classification_summary: classify.ClassificationDebugSummary
+
+
+class Segmenter:
+    """Stateless jitted pipeline over organized [H, W] clouds."""
+
+    def __init__(self, config: SegmenterConfig = SegmenterConfig()):
+        self.config = config
+        self._planar_stage = jax.jit(self._planar_stage_impl)
+        self._cluster_stage = jax.jit(self._cluster_stage_impl)
+        self._forward = jax.jit(self._forward_impl)
+
+    # -- device programs ----------------------------------------------------
+
+    def _rank_seeds(self, points, normals):
+        cfg = self.config
+        if cfg.seed_method == "plane_support":
+            ranked = seeds_op.seeds_from_plane_support(
+                points, normals, cfg.plane_support_seeds)
+            return ranked.indices, ranked.valid
+        mask = seeds_op.seeds_from_average_normals(
+            normals, cfg.average_normal_seeds)
+        # The list is in the reference's emit order; the growing driver pops
+        # back-to-front exactly like SegmentRegions (segmentation.h:254-255).
+        return seeds_op.average_normal_seed_list(
+            mask, cfg.plane_support_seeds.max_seeds)
+
+    def _planar_stage_impl(self, points, sensor_origin):
+        cfg = self.config
+        nrm = normals_op.compute_normals_organized(
+            points, sensor_origin, cfg.normals)
+        seed_idx, seed_valid = self._rank_seeds(points, nrm)
+        labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
+        dev = planar.grow_planar_regions(
+            points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
+            initial_id_offset=0, max_attempts=cfg.max_region_attempts)
+        return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
+
+    def _cluster_stage_impl(self, points, labels):
+        # every point is a clustering seed, popped in ascending col-major
+        # order (the convention of clustering_test.cc:56-59)
+        hw = points.shape[0] * points.shape[1]
+        seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
+        return cluster.segment_clusters(
+            points, labels, seed_vec, self.config.cluster,
+            initial_id_offset=0)
+
+    def _forward_impl(self, points, sensor_origin):
+        """Pure-device forward: normals + planar growth + cluster closure.
+
+        Uses device-side planar acceptance (min-inlier gate only) and
+        offsets cluster ids by the device planar count — the benchmarkable
+        single-program path."""
+        nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin)
+        hw = points.shape[0] * points.shape[1]
+        seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
+        cres = cluster.segment_clusters(
+            points, dev.labels, seed_vec, self.config.cluster,
+            initial_id_offset=0)
+        # cluster ids follow the planar ids
+        final = jnp.where(
+            (cres.labels >= 0) & (dev.labels == UNLABELED),
+            cres.labels + dev.num_regions, cres.labels)
+        return final, nrm, dev, cres
+
+    def device_forward(self, points, sensor_origin):
+        return self._forward(points, sensor_origin)
+
+    # -- full pipeline ------------------------------------------------------
+
+    def segment_frame(self, points, sensor_origin,
+                      rot_robot: Optional[np.ndarray] = None) -> FrameResult:
+        cfg = self.config
+        points_j = jnp.asarray(points)
+        nrm, dev, num_seeds = self._planar_stage(
+            points_j, jnp.asarray(sensor_origin))
+        points_np = np.asarray(points, np.float32)
+        normals_np = np.asarray(nrm)
+
+        labels, records = boundary.finalize_planar_regions(
+            points_np, normals_np, dev, cfg.planar, 0, rot_robot)
+        summary = classify.ClassificationDebugSummary()
+        classify.classify_regions(records, cfg.classification,
+                                  cfg.up_direction, cfg.known_floor_point,
+                                  summary)
+
+        num_planar = len(records)
+        num_clusters = 0
+        cluster_sizes = np.zeros((0,), np.int32)
+        objects: List[extract.DetectedObject] = []
+        labels_final = labels
+
+        if cfg.run_clustering:
+            cres = self._cluster_stage(points_j, jnp.asarray(labels))
+            cl = np.asarray(cres.labels)
+            # shift cluster ids above the planar ids
+            mask = (cl >= 0) & (labels == UNLABELED)
+            labels_final = labels.copy()
+            labels_final[mask] = cl[mask] + num_planar
+            num_clusters = int(cres.num_regions)
+            cluster_sizes = np.asarray(cres.region_sizes)[:num_clusters]
+
+        for rec in records:
+            objects.append(extract.planar_detected_object_from_labels(
+                points_np, labels_final, rec))
+        for cid in range(num_clusters):
+            objects.append(extract.cluster_detected_object(
+                points_np, labels_final, num_planar + cid,
+                SEMANTIC_UNKNOWN))
+
+        metrics = FrameMetrics(
+            num_seeds=int(num_seeds),
+            num_device_planar_regions=int(dev.num_regions),
+            num_planar_regions=num_planar,
+            num_clusters=num_clusters,
+            planar_overflow=bool(dev.overflow),
+        )
+        return FrameResult(labels=labels_final, normals=normals_np,
+                           planar_regions=records,
+                           num_clusters=num_clusters,
+                           cluster_sizes=cluster_sizes,
+                           objects=objects, metrics=metrics,
+                           classification_summary=summary)

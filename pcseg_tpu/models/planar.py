@@ -175,6 +175,57 @@ def grow_planar_regions(points: jnp.ndarray,
             return (new_member, next_frontier, new_plane, new_m, new_count,
                     it + 1, jnp.bool_(False))
 
+        if config.growth_mode == "hybrid":
+            warmup = jnp.int32(config.warmup_inliers)
+
+            def cond_warm(state):
+                member, frontier, plane, m, count, it, first = state
+                return ((jnp.any(frontier) | first)
+                        & (count < warmup)
+                        & (it < config.max_growth_iters))
+
+            member, frontier, plane, m, count, _, first = \
+                jax.lax.while_loop(
+                    cond_warm, body,
+                    (member0, frontier0, plane0, m0, jnp.int32(0),
+                     jnp.int32(0), jnp.bool_(True)))
+
+            # Epoch phase: between re-fits the inlier gate is fixed, so the
+            # reachable set is the 4-connected component of the gate mask
+            # containing the members — computed in O(log diameter) rounds.
+            from pcseg_tpu.ops import connectivity
+
+            def cond_epoch(state):
+                member, plane, m, count, epoch, grew = state
+                return grew & (epoch < config.max_growth_epochs)
+
+            def body_epoch(state):
+                member, plane, m, count, epoch, _ = state
+                dist = jnp.abs(
+                    jnp.sum(plane[:3] * points, axis=-1) + plane[3])
+                gate = (eligible & (dist < tau)) | member
+                reach = connectivity.reachable_from(gate, member)
+                new_member = reach
+                new_count = jnp.sum(new_member.astype(jnp.int32))
+                s2, s1, wsum = plane_fit.moments_of_points(
+                    jnp.where(new_member[..., None], points,
+                              0.0).reshape(-1, 3),
+                    new_member.astype(dtype).reshape(-1))
+                new_m = m._replace(s2=s2, s1=s1, w=wsum)
+                sol = plane_fit.solve(new_m)
+                new_hint = jnp.where(sol.valid, sol.normal, m.normal_hint)
+                new_m = new_m._replace(normal_hint=new_hint)
+                new_plane = jnp.where(sol.valid, sol.plane, plane)
+                grew = new_count > count
+                return (new_member, new_plane, new_m, new_count,
+                        epoch + 1, grew)
+
+            member, plane, m, count, _, _ = jax.lax.while_loop(
+                cond_epoch, body_epoch,
+                (member, plane, m, count, jnp.int32(0),
+                 jnp.bool_(True)))
+            return member, plane, m, count
+
         member, _, plane, m, count, _, _ = jax.lax.while_loop(
             cond, body,
             (member0, frontier0, plane0, m0, jnp.int32(0), jnp.int32(0),

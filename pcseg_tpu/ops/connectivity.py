@@ -114,6 +114,92 @@ def connected_components_window(points, eligible, squared_threshold,
     return labels
 
 
+def connected_components_mask(mask, max_iters=64, num_jumps=2,
+                              neighborhood4=True):
+    """Component roots (min col-major index) of a boolean mask under 4- (or
+    8-) adjacency — used for closure-style region growth where the edge
+    gate is simply joint membership. Same min-propagation + pointer-jumping
+    scheme as :func:`connected_components_window`."""
+    h, w = mask.shape
+    big = jnp.int32(h * w)
+    offsets = ([(-1, 0), (1, 0), (0, -1), (0, 1)] if neighborhood4 else
+               [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)])
+    gates = [mask & _shift2(mask, dr, dc, False) for dr, dc in offsets]
+
+    init = jnp.where(mask, colmajor_index_grid(h, w), big)
+
+    def one_round(labels):
+        new = labels
+        for (dr, dc), gate in zip(offsets, gates):
+            nb = _shift2(labels, dr, dc, big)
+            new = jnp.minimum(new, jnp.where(gate, nb, big))
+        for _ in range(num_jumps):
+            jumped = _lookup_colmajor(new, new, h, w, big)
+            new = jnp.where(mask, jnp.minimum(new, jumped), big)
+        return new
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < max_iters) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        return one_round(labels), labels, it + 1
+
+    first = one_round(init)
+    labels, _, _ = jax.lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    return labels
+
+
+def _segmented_or_spread(reach, gate, axis):
+    """OR-spread ``reach`` within maximal runs of ``gate`` along ``axis``.
+
+    One forward + one backward segmented associative scan — propagates
+    through an entire run in a single vectorized pass (VPU-friendly, no
+    gathers)."""
+    v = reach & gate
+    reset = ~gate
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, av | bv), ar | br
+
+    fwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis,
+                                      reverse=True)
+    return (fwd | bwd) & gate
+
+
+def reachable_from(mask, sources, max_rounds=64):
+    """Cells of ``mask`` 4-connected to any cell of ``sources`` (bool grids).
+
+    Row/column segmented-scan flood fill: each round spreads reachability
+    through whole horizontal and vertical runs, so convergence takes one
+    round per 'turn' of the winding path — a handful for real regions —
+    with only scans and elementwise ops (no gathers)."""
+    reach0 = sources & mask
+
+    def one_round(reach):
+        reach = _segmented_or_spread(reach, mask, axis=1)
+        reach = _segmented_or_spread(reach, mask, axis=0)
+        return reach
+
+    def cond(state):
+        reach, prev, it = state
+        return (it < max_rounds) & jnp.any(reach != prev)
+
+    def body(state):
+        reach, _, it = state
+        return one_round(reach), reach, it + 1
+
+    first = one_round(reach0)
+    reach, _, _ = jax.lax.while_loop(cond, body,
+                                     (first, reach0, jnp.int32(1)))
+    return reach
+
+
 def segment_field(values, roots, eligible, h, w, reduce="sum"):
     """Reduce ``values`` ([H, W]) over components given col-major ``roots``.
 

@@ -156,10 +156,45 @@ class RankedSeeds(NamedTuple):
     count: jnp.ndarray    # [H, W] int32 support counts (diagnostic)
 
 
+def plane_support_counts(points, normals, params):
+    """Per-pixel plane-support counts in the *natural* orientation: the
+    plane at (r, c) tested against the window points[r±h, c±h]. Used
+    directly by the sharded pipeline (which drops the transposed-access
+    quirk) and via transposed inputs for reference parity."""
+    center_ok = (jnp.all(jnp.isfinite(points), axis=-1)
+                 & jnp.all(jnp.isfinite(normals), axis=-1))
+    d = -jnp.sum(normals * points, axis=-1)
+    half = params.neighborhood_size // 2
+    count = jnp.zeros(points.shape[:2], jnp.int32)
+    for dr in range(-half, half + 1):
+        for dc in range(-half, half + 1):
+            q = _shift(points, -dr, -dc, jnp.nan)  # q[a,b] = points[a+dr, b+dc]
+            dist = jnp.abs(jnp.sum(normals * q, axis=-1) + d)
+            count = count + (dist < params.max_plane_distance).astype(
+                jnp.int32)
+    return count, center_ok
+
+
+def rank_plane_support_seeds(count, qualifies, h, w, max_seeds):
+    """Reference multimap ranking: (count asc, col-major scan position asc);
+    the driver pops back-to-front so the best seed is consumed first."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, count.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, count.shape, 1)
+    lin_idx = cols * h + rows
+    # int32 key safe while (window_area+1) * H * W < 2^31.
+    inf = jnp.int32(2**31 - 1)
+    key = jnp.where(qualifies, count * (h * w) + lin_idx, inf).reshape(-1)
+    order = jnp.argsort(key)[:max_seeds]
+    valid = key[order] < inf
+    indices = lin_idx.reshape(-1)[order]
+    return jnp.where(valid, indices, 0), valid
+
+
 def seeds_from_plane_support(
         points: jnp.ndarray,
         normals: jnp.ndarray,
         params: SeedsFromPlaneSupportParams = SeedsFromPlaneSupportParams(),
+        transposed_parity: bool = True,
 ) -> RankedSeeds:
     """FindSeedPointsFromPlaneSupport (segmentation.h:190-230), dense.
 
@@ -167,9 +202,12 @@ def seeds_from_plane_support(
     support count, ties by scan position (multimap insertion order, which
     equals the col-major linear index) — the driver pops back-to-front so
     the best seed is consumed first.
+
+    ``transposed_parity=True`` replicates the reference's transposed grid
+    accesses (bit-parity on square grids); ``False`` uses the natural
+    orientation — the corrected semantics used by the sharded pipeline.
     """
     h, w = points.shape[0], points.shape[1]
-    half = params.neighborhood_size // 2
     max_seeds = params.max_seeds
 
     if h < params.neighborhood_size or w < params.neighborhood_size:
@@ -177,39 +215,19 @@ def seeds_from_plane_support(
                            jnp.zeros((max_seeds,), bool),
                            jnp.zeros((h, w), jnp.int32))
 
-    # Transposed-access parity (module docstring): evaluate on transposes.
-    pt = jnp.swapaxes(points, 0, 1)   # [W, H, 3]
-    nt = jnp.swapaxes(normals, 0, 1)
+    if transposed_parity:
+        pt = jnp.swapaxes(points, 0, 1)   # [W, H, 3]
+        nt = jnp.swapaxes(normals, 0, 1)
+    else:
+        pt, nt = points, normals
 
-    center_ok = (jnp.all(jnp.isfinite(pt), axis=-1)
-                 & jnp.all(jnp.isfinite(nt), axis=-1))
-    d = -jnp.sum(nt * pt, axis=-1)    # plane offset per pixel
-
-    count = jnp.zeros(pt.shape[:2], jnp.int32)
-    for dr in range(-half, half + 1):
-        for dc in range(-half, half + 1):
-            q = _shift(pt, -dr, -dc, jnp.nan)  # q[a,b] = pt[a+dr, b+dc]
-            dist = jnp.abs(jnp.sum(nt * q, axis=-1) + d)
-            count = count + (dist < params.max_plane_distance).astype(
-                jnp.int32)
-
+    count, center_ok = plane_support_counts(pt, nt, params)
     qualifies = center_ok & (count >= params.min_num_support_points)
 
-    # seed index at transposed position (a=row, b=col): lin(row, col, h)
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, pt.shape[:2], 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, pt.shape[:2], 1)
-    lin_idx = cols_t * h + rows_t
-
-    # multimap order: (count asc, insertion order asc); insertion scan is
-    # col-outer/row-inner == ascending col-major linear index. int32 key is
-    # safe while (window_area+1) * H * W < 2^31 (VGA: ~25M; 10M-pt grids
-    # with the default 9x9 window: ~830M).
-    inf = jnp.int32(2**31 - 1)
-    key = jnp.where(qualifies,
-                    count * (h * w) + lin_idx,
-                    inf).reshape(-1)
-    order = jnp.argsort(key)[:max_seeds]
-    valid = key[order] < inf
-    indices = lin_idx.reshape(-1)[order]
-    return RankedSeeds(indices=jnp.where(valid, indices, 0), valid=valid,
-                       count=jnp.swapaxes(count, 0, 1))
+    # In parity mode the transposed position (a, b) is the reference loop's
+    # (row, col), so the ranking iota math yields exactly lin(row, col, h)
+    # either way.
+    indices, valid = rank_plane_support_seeds(
+        count, qualifies, h, w, max_seeds)
+    count_rc = jnp.swapaxes(count, 0, 1) if transposed_parity else count
+    return RankedSeeds(indices=indices, valid=valid, count=count_rc)

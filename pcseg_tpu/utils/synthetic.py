@@ -1,0 +1,65 @@
+"""Synthetic organized-cloud generators (fixtures, benchmarks, demos)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def analytic_plane_cloud(nx=200, ny=200, normal=(0.0, 0.0, 1.0), d=-1.0,
+                         step=0.01, noise=0.0, seed=0):
+    """Grid of points on plane n.x + d = 0, optional normal-direction noise."""
+    rng = np.random.default_rng(seed)
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    helper = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 \
+        else np.array([0.0, 1.0, 0.0])
+    u = np.cross(helper, n)
+    u /= np.linalg.norm(u)
+    v = np.cross(n, u)
+    origin = -d * n
+    xs = (np.arange(nx) - nx / 2) * step
+    ys = (np.arange(ny) - ny / 2) * step
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    pts = (origin[None, None]
+           + gx[..., None] * u[None, None]
+           + gy[..., None] * v[None, None])
+    if noise:
+        pts = pts + rng.normal(0, noise, pts.shape) * n[None, None]
+    return pts.astype(np.float32)
+
+
+def synthetic_room_cloud(rows=120, cols=160, f=120.0, seed=0,
+                         with_nan_holes=True):
+    """Depth-camera style organized cloud: floor z=-1, wall x=4, table slab
+    z=-0.6 over 1.5<x<2.5, plus random NaN holes. Camera at the origin
+    looking +x, z up. Returns ([H, W, 3] float32 points, sensor_origin)."""
+    rng = np.random.default_rng(seed)
+    cy, cz = rows / 2.0, cols / 2.0
+    rr, cc = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    d = np.stack([np.ones_like(rr, np.float64),
+                  (cc - cz) / f,
+                  (cy - rr) / f], axis=-1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    inf = np.inf
+
+    dz = d[..., 2]
+    dx = d[..., 0]
+    t_floor = np.where(dz < -1e-6, -1.0 / np.where(dz < -1e-6, dz, 1.0), inf)
+    t_wall = np.where(dx > 1e-6, 4.0 / np.where(dx > 1e-6, dx, 1.0), inf)
+    t_table = np.where(dz < -1e-6, -0.6 / np.where(dz < -1e-6, dz, 1.0), inf)
+    with np.errstate(invalid="ignore"):
+        p_table = np.where(np.isfinite(t_table)[..., None],
+                           t_table[..., None], 0.0) * d
+    table_ok = ((1.5 < p_table[..., 0]) & (p_table[..., 0] < 2.5)
+                & (-0.8 < p_table[..., 1]) & (p_table[..., 1] < 0.8))
+    t_table = np.where(table_ok, t_table, inf)
+
+    t = np.minimum(np.minimum(np.where(t_floor > 0.1, t_floor, inf),
+                              np.where(t_wall > 0.1, t_wall, inf)),
+                   np.where(t_table > 0.1, t_table, inf))
+    pts = (t[..., None] * d).astype(np.float32)
+    pts[~np.isfinite(t)] = np.nan
+    if with_nan_holes:
+        holes = rng.random((rows, cols)) < 0.02
+        pts[holes] = np.nan
+    return pts, np.zeros(3, np.float32)

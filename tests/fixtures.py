@@ -84,63 +84,7 @@ def flat_grid_fixture(size: int = 5):
     return points, normals
 
 
-def analytic_plane_cloud(nx=200, ny=200, normal=(0.0, 0.0, 1.0), d=-1.0,
-                         step=0.01, noise=0.0, seed=0):
-    """Grid of points on plane n.x + d = 0 (plane_estimator_test.cc style)."""
-    rng = np.random.default_rng(seed)
-    n = np.asarray(normal, np.float64)
-    n = n / np.linalg.norm(n)
-    # basis in plane
-    helper = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 \
-        else np.array([0.0, 1.0, 0.0])
-    u = np.cross(helper, n)
-    u /= np.linalg.norm(u)
-    v = np.cross(n, u)
-    origin = -d * n
-    xs = (np.arange(nx) - nx / 2) * step
-    ys = (np.arange(ny) - ny / 2) * step
-    gx, gy = np.meshgrid(xs, ys, indexing="ij")
-    pts = (origin[None, None]
-           + gx[..., None] * u[None, None]
-           + gy[..., None] * v[None, None])
-    if noise:
-        pts = pts + rng.normal(0, noise, pts.shape) * n[None, None]
-    return pts.astype(np.float32)
-
-
-def synthetic_room_cloud(rows=120, cols=160, f=120.0, seed=0,
-                         with_nan_holes=True):
-    """Depth-camera style organized cloud of a room: floor plane, one wall,
-    a table slab, plus random NaN holes. Camera at origin looking +x with
-    z up. Returns ([H, W, 3] points, sensor_origin)."""
-    rng = np.random.default_rng(seed)
-    cy, cz = rows / 2.0, cols / 2.0
-    pts = np.full((rows, cols, 3), np.nan, np.float32)
-    for r in range(rows):
-        for c in range(cols):
-            # ray direction in camera frame: x forward, y left, z up
-            dy = (c - cz) / f
-            dz = (cy - r) / f
-            d = np.array([1.0, dy, dz])
-            d /= np.linalg.norm(d)
-            # intersect with floor z = -1.0
-            ts = []
-            if d[2] < -1e-6:
-                ts.append((-1.0 - 0.0) / d[2])
-            # wall x = 4.0
-            if d[0] > 1e-6:
-                ts.append(4.0 / d[0])
-            # table slab z = -0.6 for 1.5 < x < 2.5
-            if d[2] < -1e-6:
-                t = -0.6 / d[2]
-                p = t * d
-                if 1.5 < p[0] < 2.5 and -0.8 < p[1] < 0.8:
-                    ts.append(t)
-            if not ts:
-                continue
-            t = min(t for t in ts if t > 0.1)
-            pts[r, c] = (t * d).astype(np.float32)
-    if with_nan_holes:
-        holes = rng.random((rows, cols)) < 0.02
-        pts[holes] = np.nan
-    return pts, np.zeros(3, np.float32)
+# Scene generators live in the package so benchmarks and the graft entry can
+# use them too.
+from pcseg_tpu.utils.synthetic import (  # noqa: E402,F401
+    analytic_plane_cloud, synthetic_room_cloud)

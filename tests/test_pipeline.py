@@ -1,0 +1,89 @@
+"""End-to-end Segmenter pipeline on the synthetic room scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcseg_tpu.models import pipeline
+from pcseg_tpu.models.config import (
+    UNLABELED, ClassifyHorizontalPlaneParams, ClassifyWallParams,
+    PlaneClass, PlaneClassificationConfig, SEMANTIC_FLOOR, SEMANTIC_TABLE)
+from pcseg_tpu.protos import pcseg_pb2
+from pcseg_tpu.models import extract
+from tests import fixtures
+
+
+def room_classification_config():
+    return PlaneClassificationConfig(
+        floor_params=ClassifyHorizontalPlaneParams(
+            max_up_direction_delta_angle_degrees=10.0,
+            floor_offset=1.0,  # floor at z=-1, floor point (0,0,-1)
+            max_floor_offset_deviation=1.1,
+            min_area=0.2, max_area=1000.0),
+        coffee_table_params=ClassifyHorizontalPlaneParams(
+            max_up_direction_delta_angle_degrees=10.0,
+            floor_offset=0.0,
+            max_floor_offset_deviation=0.5,
+            min_area=0.2, max_area=10.0),
+        wall_params=ClassifyWallParams(
+            max_horizontal_delta_angle_degrees=10.0, min_height=0.5),
+    )
+
+
+@pytest.fixture(scope="module")
+def room_result():
+    pts, origin = fixtures.synthetic_room_cloud(48, 64, f=48.0, seed=7)
+    cfg = pipeline.SegmenterConfig(
+        classification=room_classification_config(),
+        known_floor_point=(2.0, 0.0, -1.0))
+    seg = pipeline.Segmenter(cfg)
+    return seg.segment_frame(pts, origin), pts
+
+
+class TestSegmentFrame:
+    def test_finds_planes_and_classifies(self, room_result):
+        result, pts = room_result
+        assert result.metrics.num_planar_regions >= 1
+        classes = {PlaneClass(r.plane_class) for r in result.planar_regions}
+        # the dominant floor plane must be found and classified
+        assert PlaneClass.FLOOR in classes or PlaneClass.TABLE in classes
+
+    def test_labels_consistent_with_regions(self, room_result):
+        result, pts = room_result
+        n = result.metrics.num_planar_regions
+        ids = np.unique(result.labels[result.labels >= 0])
+        assert (ids < n + result.num_clusters).all()
+        for rec in result.planar_regions:
+            assert (result.labels == rec.label_id).sum() == rec.count
+
+    def test_objects_extracted(self, room_result):
+        result, pts = room_result
+        assert len(result.objects) == \
+            result.metrics.num_planar_regions + result.num_clusters
+        planar_objs = [o for o in result.objects if o.plane is not None]
+        for o in planar_objs:
+            assert o.points.shape[1] == 3
+            assert np.all(np.isfinite(o.points))
+
+    def test_proto_roundtrip(self, room_result):
+        result, pts = room_result
+        proto = extract.detected_objects_proto(result.objects)
+        data = proto.SerializeToString()
+        back = pcseg_pb2.DetectedObjectsProto()
+        back.ParseFromString(data)
+        assert len(back.detected_objects) == len(result.objects)
+        first = back.detected_objects[0]
+        if first.HasField("planar_geometry"):
+            plane = extract.plane_from_proto(first.planar_geometry.plane)
+            np.testing.assert_allclose(
+                plane, result.objects[0].plane, atol=1e-5)
+
+    def test_device_forward_jits(self, room_result):
+        result, pts = room_result
+        cfg = pipeline.SegmenterConfig(
+            classification=room_classification_config())
+        seg = pipeline.Segmenter(cfg)
+        final, nrm, dev, cres = seg.device_forward(
+            jnp.asarray(pts), jnp.zeros(3))
+        assert final.shape == pts.shape[:2]
+        assert int(dev.num_regions) >= 1

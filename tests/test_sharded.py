@@ -1,0 +1,110 @@
+"""Sharded pipeline on a virtual 8-device CPU mesh vs single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pcseg_tpu.models.config import (
+    UNLABELED, ClusterRegionConfig, ComputeNormalsParams,
+    PlanarRegionConfig, SeedsFromPlaneSupportParams)
+from pcseg_tpu.models import cluster as cluster_model
+from pcseg_tpu.models import planar as planar_model
+from pcseg_tpu.ops import connectivity, normals as normals_op
+from pcseg_tpu.ops import seeds as seeds_op
+from pcseg_tpu.parallel import sharded
+from tests import fixtures
+
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= NDEV
+    return sharded.make_mesh(NDEV)
+
+
+def room(h=48, w=64):
+    pts, origin = fixtures.synthetic_room_cloud(h, w, f=float(h), seed=9)
+    return pts, origin
+
+
+class TestShardedNormals:
+    def test_matches_single_device(self, mesh):
+        pts, origin = room()
+        params = ComputeNormalsParams(max_scan_steps=8)  # halo <= W/8
+        single = np.asarray(normals_op.compute_normals_organized(
+            jnp.asarray(pts), jnp.asarray(origin), params))
+
+        fn = jax.jit(jax.shard_map(
+            lambda p, o: sharded.sharded_normals(p, o, params, "space"),
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(None, "space", None),
+                      jax.sharding.PartitionSpec()),
+            out_specs=jax.sharding.PartitionSpec(None, "space", None),
+            check_vma=False))
+        multi = np.asarray(fn(jnp.asarray(pts), jnp.asarray(origin)))
+
+        both = np.isfinite(single) & np.isfinite(multi)
+        assert (np.isfinite(single) == np.isfinite(multi)).all()
+        # f32 fusion differences on padded shapes reassociate the moment
+        # sums; the reference's own tolerance for this is 1e-4
+        # (plane_estimator_test.cc:34-36).
+        np.testing.assert_allclose(single[both], multi[both], atol=2e-4)
+
+
+class TestShardedStep:
+    def test_full_step_runs_and_matches(self, mesh):
+        pts, origin = room()
+        normals_params = ComputeNormalsParams(max_scan_steps=8)
+        seed_params = SeedsFromPlaneSupportParams(max_seeds=1024)
+        planar_cfg = PlanarRegionConfig(max_regions=16)
+        cluster_cfg = ClusterRegionConfig()
+
+        step = sharded.build_sharded_segment_step(
+            mesh, normals_params, seed_params, planar_cfg, cluster_cfg,
+            max_attempts=32)
+        res = step(jnp.asarray(pts), jnp.asarray(origin))
+        labels = np.asarray(res.labels)
+        assert labels.shape == pts.shape[:2]
+        assert int(res.planar.num_regions) >= 1
+
+        # single-device equivalent with the natural (non-transposed) seed
+        # orientation the sharded path uses
+        nrm = normals_op.compute_normals_organized(
+            jnp.asarray(pts), jnp.asarray(origin), normals_params)
+        ranked = seeds_op.seeds_from_plane_support(
+            jnp.asarray(pts), nrm, seed_params, transposed_parity=False)
+        labels0 = jnp.full(pts.shape[:2], UNLABELED, jnp.int32)
+        dev = planar_model.grow_planar_regions(
+            jnp.asarray(pts), nrm, labels0, ranked.indices, ranked.valid,
+            planar_cfg, 0, max_attempts=32)
+        assert int(res.planar.num_regions) == int(dev.num_regions)
+        agreement = (np.asarray(res.planar.labels)
+                     == np.asarray(dev.labels)).mean()
+        assert agreement == 1.0, agreement
+        np.testing.assert_allclose(
+            np.asarray(res.planar.planes)[:int(dev.num_regions)],
+            np.asarray(dev.planes)[:int(dev.num_regions)], atol=1e-4)
+
+    def test_sharded_ccl_matches(self, mesh):
+        pts = fixtures.clustering_fixture_cloud(16)
+        elig = np.ones((16, 16), bool)
+        cfg = ClusterRegionConfig()
+
+        single = np.asarray(connectivity.connected_components_window(
+            jnp.asarray(pts), jnp.asarray(elig),
+            cfg.squared_distance_threshold, cfg.half_search_window))
+
+        fn = jax.jit(jax.shard_map(
+            lambda p, e: sharded.sharded_connected_components(
+                p, e, cfg.squared_distance_threshold,
+                cfg.half_search_window, 16, 16, "space"),
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(None, "space", None),
+                      jax.sharding.PartitionSpec(None, "space")),
+            out_specs=jax.sharding.PartitionSpec(None, "space"),
+            check_vma=False))
+        multi = np.asarray(fn(jnp.asarray(pts), jnp.asarray(elig)))
+        np.testing.assert_array_equal(single, multi)
