@@ -1,0 +1,210 @@
+"""Sliding-window mean-shift clustering (mean_shift_segmentation.{h,cc}).
+
+Reference behavior (/root/reference/pointcloud_segmentation/
+mean_shift_segmentation.h:207-330):
+  * every unlabeled non-NaN point seeds a mode; a fixed number of shift
+    iterations moves each seed by the mean of its neighbors inside an 11x11
+    index window and a 1 m^2 spatial ball (flat kernel), tracking the shift
+    in both 3-D space and fractional 2-D grid index (:232-260);
+  * seeds whose window support drops below 0.5 * 4 * half^2 = 50 are
+    invalidated (sticky) (:244-249);
+  * surviving modes are processed by ascending intensity; each grows a
+    cluster region (inlier if within 1 m^2 of the mode, or within 0.2^2 of
+    an already-accepted neighbor; the first expansion ignores the neighbor
+    rule), accepted regions suppress later modes within 1 m^2, rejected
+    regions revert to kUnlabeled (:262-328).
+
+TPU split: the shift fixed point is embarrassingly parallel over seeds —
+one batched fori_loop with 121 window gathers per iteration runs entirely
+on device. The mode ordering + sequential growth is inherently
+order-dependent over a small surviving set and runs on host (exact FIFO
+port). Known divergence: the C++ sorts modes with std::sort (unstable);
+exact intensity ties may order differently — we use a stable sort with the
+original seed position as tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcseg_tpu.models.config import (
+    UNLABELED, ClusterRegionConfig, MeanShiftParams)
+
+
+class MeanShiftState(NamedTuple):
+    pos: jnp.ndarray        # [N, 3] current seed positions
+    idx: jnp.ndarray        # [N, 2] fractional (row, col) indices
+    valid: jnp.ndarray      # [N] sticky validity
+    intensity: jnp.ndarray  # [N] last window support
+    is_seed: jnp.ndarray    # [N] participated at all (unlabeled, finite)
+
+
+def mean_shift_modes(points: jnp.ndarray, labels: jnp.ndarray,
+                     iterations: int,
+                     params: MeanShiftParams = MeanShiftParams()
+                     ) -> MeanShiftState:
+    """Batched shift fixed point over every eligible pixel (device).
+
+    points: [H, W, 3]; labels: [H, W] int32 (only UNLABELED pixels seed and
+    only they contribute to windows, mean_shift_segmentation.h:112-115).
+    """
+    h, w = points.shape[0], points.shape[1]
+    n = h * w
+    dtype = points.dtype
+    hw = params.half_search_window
+
+    flat_pts = points.reshape(n, 3)
+    finite = jnp.all(jnp.isfinite(flat_pts), axis=-1)
+    unlabeled = (labels == UNLABELED).reshape(n)
+    is_seed = finite & unlabeled
+
+    rows = (jnp.arange(n, dtype=jnp.int32) // w).astype(dtype)
+    cols = (jnp.arange(n, dtype=jnp.int32) % w).astype(dtype)
+    idx0 = jnp.stack([rows, cols], axis=-1)
+    pos0 = jnp.where(is_seed[:, None], jnp.nan_to_num(flat_pts), 0.0)
+
+    neighbor_ok_grid = (unlabeled & finite).reshape(n)
+
+    offsets = [(dr, dc) for dc in range(-hw, hw + 1)
+               for dr in range(-hw, hw + 1)]
+
+    def body(_, state):
+        pos, idx, valid, intensity = state
+        r = jnp.round(idx[:, 0]).astype(jnp.int32)
+        c = jnp.round(idx[:, 1]).astype(jnp.int32)
+
+        sum_dpos = jnp.zeros_like(pos)
+        sum_didx = jnp.zeros_like(idx)
+        count = jnp.zeros((n,), dtype)
+        for dr, dc in offsets:
+            rr = r + dr
+            cc = c + dc
+            inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            lin = jnp.clip(rr * w + cc, 0, n - 1)
+            q = flat_pts[lin]
+            ok = inb & neighbor_ok_grid[lin]
+            dpos = q - pos
+            d2 = jnp.sum(dpos * dpos, axis=-1)
+            ok = ok & (d2 <= params.square_distance_threshold)
+            okf = ok.astype(dtype)
+            sum_dpos = sum_dpos + jnp.where(ok[:, None], dpos, 0.0)
+            didx = jnp.stack([rr.astype(dtype) - idx[:, 0],
+                              cc.astype(dtype) - idx[:, 1]], axis=-1)
+            sum_didx = sum_didx + jnp.where(ok[:, None], didx, 0.0)
+            count = count + okf
+
+        enough = count >= params.min_support
+        new_valid = valid & enough
+        denom = jnp.where(count > 0, count, 1.0)
+        upd = new_valid
+        pos = jnp.where(upd[:, None], pos + sum_dpos / denom[:, None], pos)
+        idx = jnp.where(upd[:, None], idx + sum_didx / denom[:, None], idx)
+        intensity = jnp.where(upd, count, intensity)
+        return pos, idx, valid & enough, intensity
+
+    init = (pos0, idx0, is_seed, jnp.ones((n,), dtype))
+    pos, idx, valid, intensity = jax.lax.fori_loop(
+        0, iterations, body, init)
+    return MeanShiftState(pos=pos, idx=idx, valid=valid & is_seed,
+                          intensity=intensity, is_seed=is_seed)
+
+
+class MeanShiftRegion(NamedTuple):
+    label_id: int
+    inlier_indices: np.ndarray  # col-major linear, BFS order
+    seed: np.ndarray            # mode position [3]
+
+
+def grow_mean_shift_regions(points: np.ndarray, labels: np.ndarray,
+                            state: MeanShiftState,
+                            config: ClusterRegionConfig,
+                            initial_region_id_offset: int = 0,
+                            params: MeanShiftParams = MeanShiftParams()
+                            ) -> List[MeanShiftRegion]:
+    """Host pass: mode ordering, sequential growth, suppression — exact
+    FIFO port of mean_shift_segmentation.h:262-328. Mutates ``labels``."""
+    h, w = points.shape[0], points.shape[1]
+    pos = np.asarray(state.pos)
+    idx = np.asarray(state.idx)
+    valid = np.asarray(state.valid)
+    intensity = np.asarray(state.intensity)
+
+    order = np.nonzero(valid)[0]
+    # ascending intensity; stable with original seed order as tiebreak
+    order = order[np.argsort(intensity[order], kind="stable")]
+
+    regions: List[MeanShiftRegion] = []
+    suppressed = np.zeros(len(valid), bool)
+    hw_win = config.half_search_window
+
+    for i, s in enumerate(order):
+        if suppressed[s]:
+            continue
+        seed_pos = pos[s].astype(np.float32)
+        label_id = len(regions) + initial_region_id_offset
+        inliers = []
+        q = deque()
+        r0 = int(round(float(idx[s, 0])))
+        c0 = int(round(float(idx[s, 1])))
+        q.append(r0 * w + c0)
+        first = True
+        while q:
+            center = q.popleft()
+            cr, cc = center // w, center % w
+            center_pt = points[cr, cc]
+            for dc in range(-hw_win, hw_win + 1):
+                for dr in range(-hw_win, hw_win + 1):
+                    if not first and dc == 0 and dr == 0:
+                        continue
+                    rr, ccc = cr + dr, cc + dc
+                    if not (0 <= rr < h and 0 <= ccc < w):
+                        continue
+                    if labels[rr, ccc] != UNLABELED \
+                            or np.any(np.isnan(points[rr, ccc])):
+                        continue
+                    cand = points[rr, ccc].astype(np.float32)
+                    if float(np.sum((cand - seed_pos) ** 2)) \
+                            > params.squared_centroid_distance_threshold:
+                        if first or float(np.sum(
+                                (cand - center_pt.astype(np.float32)) ** 2)) \
+                                > params.squared_neighbor_distance_threshold:
+                            continue
+                    labels[rr, ccc] = label_id
+                    inliers.append(ccc * h + rr)  # col-major output index
+                    q.append(rr * w + ccc)
+            first = False
+
+        if len(inliers) >= config.min_region_inliers:
+            later = order[i + 1:]
+            d2 = np.sum((pos[later] - seed_pos) ** 2, axis=-1)
+            suppressed[later[d2 < params.squared_centroid_distance_threshold]] = True
+            regions.append(MeanShiftRegion(
+                label_id=label_id,
+                inlier_indices=np.asarray(inliers, np.int64),
+                seed=seed_pos))
+        else:
+            for lin_cm in inliers:
+                labels[lin_cm % h, lin_cm // h] = UNLABELED
+    return regions
+
+
+def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
+                       iterations: int, initial_region_id_offset: int = 0,
+                       params: MeanShiftParams = MeanShiftParams()):
+    """Full SlidingMeanShift: device shift fixed point + host growth.
+
+    Args mirror the reference entry point (mean_shift_segmentation.h:208).
+    ``labels`` is numpy [H, W]; mutated in place like the C++. Returns the
+    region list.
+    """
+    state = jax.jit(
+        lambda p, l: mean_shift_modes(p, l, iterations, params))(
+        jnp.asarray(points), jnp.asarray(labels))
+    return grow_mean_shift_regions(
+        np.asarray(points), labels, state, config,
+        initial_region_id_offset, params)

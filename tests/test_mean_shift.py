@@ -1,0 +1,114 @@
+"""Mean-shift clustering: device fixed point + host growth vs oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import (
+    UNLABELED, ClusterRegionConfig, MeanShiftParams)
+from pcseg_tpu.models import mean_shift
+from pcseg_tpu import oracle
+
+
+def blob_cloud(h=24, w=24, seed=3):
+    """Two dense blobs + scattered far outliers."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-30, 30, (h, w, 3)).astype(np.float32)
+    pts[2:14, 2:14] = np.array([0, 0, 0]) \
+        + rng.normal(0, 0.15, (12, 12, 3)).astype(np.float32)
+    pts[10:22, 12:24] = np.array([5, 5, 0]) \
+        + rng.normal(0, 0.15, (12, 12, 3)).astype(np.float32)
+    pts[rng.random((h, w)) < 0.03] = np.nan
+    return pts
+
+
+class TestMeanShiftModes:
+    def test_shift_matches_oracle(self):
+        pts = blob_cloud()
+        h, w = pts.shape[:2]
+        labels = np.full((h, w), UNLABELED, np.int32)
+        iterations = 5
+
+        state = mean_shift.mean_shift_modes(
+            jnp.asarray(pts), jnp.asarray(labels), iterations)
+
+        # oracle shift phase (reuse its internals by running the full thing
+        # with zero growth — replicate just the shift loop here)
+        seeds = []
+        for index in range(h * w):
+            if not np.any(np.isnan(oracle.at_lin(pts, index))):
+                r, c = oracle.to_rc(index, h)
+                seeds.append([oracle.at_lin(pts, index).astype(
+                    np.float32).copy(), np.array([r, c], np.float32), index])
+        params = MeanShiftParams()
+        valid = {s[2]: True for s in seeds}
+        for _ in range(iterations):
+            for srec in seeds:
+                pos, idx2, index = srec
+                if not valid[index]:
+                    continue
+                row, col = int(round(float(idx2[0]))), \
+                    int(round(float(idx2[1])))
+                shifts = []
+                for dc in range(-5, 6):
+                    for dr in range(-5, 6):
+                        r2, c2 = row + dr, col + dc
+                        if not (0 <= r2 < h and 0 <= c2 < w):
+                            continue
+                        if np.any(np.isnan(pts[r2, c2])):
+                            continue
+                        dp = pts[r2, c2].astype(np.float32) - pos
+                        if float(dp @ dp) > 1.0:
+                            continue
+                        shifts.append((dp, np.array([r2, c2], np.float32)
+                                       - idx2))
+                total = float(len(shifts))
+                if total < params.min_support:
+                    valid[index] = False
+                    continue
+                srec[0] = pos + np.sum([s[0] for s in shifts], 0) \
+                    / np.float32(total)
+                srec[1] = idx2 + np.sum([s[1] for s in shifts], 0) \
+                    / np.float32(total)
+
+        got_pos = np.asarray(state.pos)
+        got_valid = np.asarray(state.valid)
+        # row-major flat index of device state
+        for pos, idx2, index in seeds:
+            r, c = oracle.to_rc(index, h)
+            flat = r * w + c
+            assert got_valid[flat] == valid[index], (r, c)
+            if valid[index]:
+                np.testing.assert_allclose(got_pos[flat], pos, atol=1e-4)
+
+
+class TestSlidingMeanShiftEndToEnd:
+    def test_matches_oracle(self):
+        pts = blob_cloud()
+        h, w = pts.shape[:2]
+        cfg = ClusterRegionConfig()
+
+        labels_tpu = np.full((h, w), UNLABELED, np.int32)
+        regions_tpu = mean_shift.sliding_mean_shift(
+            pts, labels_tpu, cfg, iterations=5, initial_region_id_offset=1)
+
+        labels_oracle = np.full((h, w), UNLABELED, np.int32)
+        regions_oracle = oracle.sliding_mean_shift(
+            pts, cfg, 5, 1, labels_oracle)
+
+        agreement = (labels_tpu == labels_oracle).mean()
+        assert agreement >= 0.99, agreement
+        assert len(regions_tpu) == len(regions_oracle)
+        for a, b in zip(regions_tpu, regions_oracle):
+            assert a.label_id == b.label_id
+            assert len(a.inlier_indices) == len(b.inlier_indices)
+
+    def test_respects_existing_labels(self):
+        pts = blob_cloud()
+        h, w = pts.shape[:2]
+        labels = np.full((h, w), UNLABELED, np.int32)
+        labels[:6, :6] = 0  # pre-claimed by a planar region
+        before = labels.copy()
+        mean_shift.sliding_mean_shift(
+            pts, labels, ClusterRegionConfig(), iterations=3,
+            initial_region_id_offset=1)
+        np.testing.assert_array_equal(labels[:6, :6], before[:6, :6])
