@@ -39,6 +39,7 @@ import numpy as np
 from pcseg_tpu.models.config import (
     UNLABELED, PlanarRegionConfig, PlaneClass)
 from pcseg_tpu.utils import hostgeom
+from pcseg_tpu import native as _native
 
 
 def neighborhood(use8: bool, rows: int):
@@ -57,9 +58,26 @@ def moore_trace(mask: np.ndarray, start_idx: int, use8: bool = True):
     ``start_idx`` is a col-major linear index of a member with at least one
     in-bounds non-member neighbor. Returns the ordered boundary index list
     (with the reference's one-pixel-branch revisits) or None if start is
-    not on a boundary.
+    not on a boundary. Uses the native C++ walk when available
+    (pcseg_tpu/native/hostops.cc), falling back to the pure-Python port.
     """
     rows, cols = mask.shape
+    if use8:
+        lib = _native.load_hostops()
+        if lib is not None:
+            import ctypes
+            mask_cm = np.ascontiguousarray(mask.T).astype(np.uint8)
+            cap = 8 * (rows * cols + 16)
+            out = np.empty(cap, np.int64)
+            n = lib.pcseg_moore_trace(
+                mask_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                rows, cols, int(start_idx),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+            if n > 0:
+                return [int(i) for i in out[:n]]
+            if n == 0:
+                return None
+            # n < 0: capacity overflow — fall through to the Python walk
     dirs = neighborhood(use8, rows)
 
     def at(idx):
@@ -111,24 +129,36 @@ def find_outer_start(mask: np.ndarray) -> Optional[int]:
     the reference then fails every FindInitialPredecessorDirection and
     rejects the region, planar_region.h:316-318)."""
     rows, cols = mask.shape
-    outside = np.zeros_like(mask)
-    # flood fill non-member cells from the border (iterative dilation)
-    nonmember = ~mask
-    frontier = np.zeros_like(mask)
-    frontier[0, :] = nonmember[0, :]
-    frontier[-1, :] = nonmember[-1, :]
-    frontier[:, 0] = nonmember[:, 0]
-    frontier[:, -1] = nonmember[:, -1]
-    outside |= frontier
-    while frontier.any():
-        grown = np.zeros_like(mask)
-        grown[1:, :] |= outside[:-1, :]
-        grown[:-1, :] |= outside[1:, :]
-        grown[:, 1:] |= outside[:, :-1]
-        grown[:, :-1] |= outside[:, 1:]
-        grown &= nonmember
-        frontier = grown & ~outside
+    lib = _native.load_hostops()
+    if lib is not None:
+        import ctypes
+        mask_cm = np.ascontiguousarray(mask.T).astype(np.uint8)
+        out_cm = np.zeros_like(mask_cm)
+        lib.pcseg_flood_outside(
+            mask_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rows, cols,
+            out_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        outside = out_cm.T.astype(bool)
+        nonmember = ~mask
+    else:
+        outside = np.zeros_like(mask)
+        # flood fill non-member cells from the border (iterative dilation)
+        nonmember = ~mask
+        frontier = np.zeros_like(mask)
+        frontier[0, :] = nonmember[0, :]
+        frontier[-1, :] = nonmember[-1, :]
+        frontier[:, 0] = nonmember[:, 0]
+        frontier[:, -1] = nonmember[:, -1]
         outside |= frontier
+        while frontier.any():
+            grown = np.zeros_like(mask)
+            grown[1:, :] |= outside[:-1, :]
+            grown[:-1, :] |= outside[1:, :]
+            grown[:, 1:] |= outside[:, :-1]
+            grown[:, :-1] |= outside[:, 1:]
+            grown &= nonmember
+            frontier = grown & ~outside
+            outside |= frontier
 
     # members 8-adjacent to outside
     adj = np.zeros_like(mask)
