@@ -135,6 +135,15 @@ class Segmenter:
     def device_forward(self, points, sensor_origin):
         return self._forward(points, sensor_origin)
 
+    def device_forward_batched(self, points_batch, sensor_origins):
+        """Streaming batch (BASELINE config 4): vmap the full device
+        forward over a [B, H, W, 3] stack of frames — one compiled program,
+        amortized dispatch, batched region tables."""
+        if not hasattr(self, "_forward_batched"):
+            self._forward_batched = jax.jit(
+                jax.vmap(self._forward_impl, in_axes=(0, 0)))
+        return self._forward_batched(points_batch, sensor_origins)
+
     # -- full pipeline ------------------------------------------------------
 
     def segment_frame(self, points, sensor_origin,

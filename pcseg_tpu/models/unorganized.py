@@ -1,0 +1,81 @@
+"""Clustering of unorganized (~1M-point) clouds via voxel grids.
+
+BASELINE config 3: euclidean / mean-shift clustering on large unorganized
+clouds. Pipeline: voxelize to a bird's-eye grid of cell centroids
+(ops/voxelize.py), run the organized windowed clustering (gated CCL) on the
+representative grid, scatter cell labels back to points. Cluster granularity
+is the voxel size — choose cell_size well below squared_distance_threshold's
+root so voxelization never merges distinct clusters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import UNLABELED, ClusterRegionConfig
+from pcseg_tpu.models import cluster as cluster_model
+from pcseg_tpu.ops import voxelize
+
+
+class UnorganizedClusterResult(NamedTuple):
+    point_labels: jnp.ndarray   # [N] int32 cluster id (-1 unclustered)
+    grid_labels: jnp.ndarray    # [Gx, Gy]
+    num_regions: jnp.ndarray
+    region_sizes: jnp.ndarray   # per-region POINT counts
+
+
+def cluster_unorganized(points: jnp.ndarray,
+                        config: ClusterRegionConfig = ClusterRegionConfig(),
+                        cell_size: float = 0.25,
+                        grid_shape=(512, 512),
+                        origin=None) -> UnorganizedClusterResult:
+    """Cluster a [N, 3] unorganized cloud (jittable end to end)."""
+    import dataclasses
+
+    grid = voxelize.voxelize_xy(points, cell_size, grid_shape, origin)
+    gx, gy = grid_shape
+
+    labels0 = jnp.full((gx, gy), UNLABELED, jnp.int32)
+    # every occupied cell seeds, popped in ascending col-major order;
+    # min_region_inliers gates POINT counts (applied below), so accept any
+    # seeded cell component here
+    seed_vec = jnp.arange(gx * gy - 1, -1, -1, dtype=jnp.int32)
+    cell_config = dataclasses.replace(config, min_region_inliers=1)
+    res = cluster_model.segment_clusters(
+        grid.points, labels0, seed_vec, cell_config, initial_id_offset=0)
+
+    raw_point_labels = voxelize.scatter_labels_to_points(
+        res.labels, grid.point_cell)
+
+    # raw cell-component ids are dense but can reach gx*gy (every noise cell
+    # is its own component before the point-count gate) — remap over the
+    # full id space, then compact survivors into [0, max_regions).
+    id_cap = gx * gy
+    raw_sizes = jax.ops.segment_sum(
+        jnp.where(raw_point_labels >= 0, 1, 0),
+        jnp.clip(raw_point_labels, 0, id_cap - 1),
+        num_segments=id_cap)
+    keep = raw_sizes >= config.min_region_inliers
+    remap = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    new_id = jnp.where(keep, remap, -1)
+
+    def relabel(lbl):
+        safe = jnp.clip(lbl, 0, id_cap - 1)
+        return jnp.where(lbl >= 0, new_id[safe], -1)
+
+    point_labels = relabel(raw_point_labels)
+    grid_labels = relabel(res.labels)
+    grid_labels = jnp.where(res.labels < 0, res.labels, grid_labels)
+    num_regions = jnp.sum(keep.astype(jnp.int32))
+    r_cap = config.max_regions
+    sizes = jax.ops.segment_sum(
+        jnp.where((point_labels >= 0) & (point_labels < r_cap), 1, 0),
+        jnp.clip(point_labels, 0, r_cap - 1), num_segments=r_cap)
+    return UnorganizedClusterResult(
+        point_labels=point_labels,
+        grid_labels=grid_labels,
+        num_regions=num_regions,
+        region_sizes=sizes)

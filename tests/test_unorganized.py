@@ -1,0 +1,81 @@
+"""Unorganized-cloud clustering + batched streaming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models import pipeline, unorganized
+from pcseg_tpu.models.config import ClusterRegionConfig
+from pcseg_tpu.ops import voxelize
+from tests import fixtures
+
+
+def blobs_unorganized(n_per=3000, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[0, 0, 0], [8, 0, 0], [0, 9, 1], [12, 12, -1]],
+                       np.float32)
+    pts = np.concatenate([
+        c + rng.normal(0, 0.4, (n_per, 3)).astype(np.float32)
+        for c in centers])
+    noise = rng.uniform(-20, 25, (500, 3)).astype(np.float32)
+    pts = np.concatenate([pts, noise])
+    rng.shuffle(pts)
+    return pts, centers
+
+
+class TestVoxelize:
+    def test_centroids_and_mapping(self):
+        pts = np.array([[0.1, 0.1, 1.0], [0.2, 0.2, 2.0],
+                        [3.0, 3.0, 5.0], [np.nan, 0, 0]], np.float32)
+        grid = voxelize.voxelize_xy(jnp.asarray(pts), 1.0, (8, 8),
+                                    origin=(0.0, 0.0))
+        g = np.asarray(grid.points)
+        assert np.allclose(g[0, 0], [0.15, 0.15, 1.5])
+        assert np.allclose(g[3, 3], [3.0, 3.0, 5.0])
+        counts = np.asarray(grid.counts)
+        assert counts[0, 0] == 2 and counts[3, 3] == 1
+        pc = np.asarray(grid.point_cell)
+        assert pc[3] == -1  # NaN point off-grid
+        back = voxelize.scatter_labels_to_points(
+            jnp.asarray(np.arange(64).reshape(8, 8), jnp.int32),
+            grid.point_cell)
+        assert int(back[0]) == 0 and int(back[2]) == 3 * 8 + 3
+        assert int(back[3]) == -1
+
+
+class TestUnorganizedClustering:
+    def test_blobs_found(self):
+        pts, centers = blobs_unorganized()
+        fn = jax.jit(lambda p: unorganized.cluster_unorganized(
+            p, ClusterRegionConfig(min_region_inliers=100),
+            cell_size=0.5, grid_shape=(128, 128)))
+        res = fn(jnp.asarray(pts))
+        assert int(res.num_regions) == 4
+        lbl = np.asarray(res.point_labels)
+        # each blob maps to one dominant label
+        for c in centers:
+            near = np.linalg.norm(pts - c, axis=-1) < 1.0
+            ids, counts = np.unique(lbl[near], return_counts=True)
+            dominant = ids[np.argmax(counts)]
+            assert dominant >= 0
+            assert counts.max() / near.sum() > 0.95
+        sizes = np.asarray(res.region_sizes)
+        assert (sizes[:4] >= 2500).all()
+
+
+class TestBatchedStreaming:
+    def test_vmap_forward(self):
+        frames = []
+        for i in range(3):
+            p, o = fixtures.synthetic_room_cloud(32, 40, f=32.0, seed=i)
+            frames.append(p)
+        batch = jnp.asarray(np.stack(frames))
+        origins = jnp.zeros((3, 3))
+        seg = pipeline.Segmenter(pipeline.SegmenterConfig(
+            planar=pipeline.SegmenterConfig().planar))
+        final, nrm, dev, cres = seg.device_forward_batched(batch, origins)
+        assert final.shape == (3, 32, 40)
+        assert nrm.shape == (3, 32, 40, 3)
+        # per-frame results match the unbatched forward
+        f0, n0, d0, c0 = seg.device_forward(batch[0], origins[0])
+        np.testing.assert_array_equal(np.asarray(final[0]), np.asarray(f0))
