@@ -77,10 +77,16 @@ def segment_clusters(points: jnp.ndarray,
     finite = jnp.all(jnp.isfinite(points), axis=-1)
     eligible = (labels == UNLABELED) & finite
 
-    roots = connectivity.connected_components_window(
-        points, eligible,
-        jnp.asarray(config.squared_distance_threshold, points.dtype),
-        config.half_search_window)
+    if config.ccl_mode == "scan":
+        roots = connectivity.connected_components_scan(
+            points, eligible,
+            jnp.asarray(config.squared_distance_threshold, points.dtype),
+            config.half_search_window, rounds=config.scan_rounds)
+    else:
+        roots = connectivity.connected_components_window(
+            points, eligible,
+            jnp.asarray(config.squared_distance_threshold, points.dtype),
+            config.half_search_window)
 
     # --- seed pop priorities -------------------------------------------------
     s = seed_indices.shape[0]

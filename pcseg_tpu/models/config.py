@@ -74,14 +74,16 @@ class PlanarRegionConfig:
     max_regions: int = 64          # capacity of the per-frame region table
     max_growth_iters: int = 4096   # bound on BFS wavefronts per region
 
-    # TPU-only growth strategy. "wavefront" = ring-by-ring BFS (closest to
-    # the reference's queue cadence). "hybrid" (default) = wavefront until
+    # TPU-only growth strategy. "batched" (default) = all regions grown
+    # concurrently with rank conflict resolution, statically unrolled
+    # (models/planar_batched.py). "wavefront" = ring-by-ring BFS (closest to
+    # the reference's queue cadence). "hybrid" = wavefront until
     # ``warmup_inliers`` then whole-component closure per plane re-fit via
     # pointer-jumping CCL — O(log diameter) passes instead of O(diameter);
     # after ~4 re-estimation periods the fitted plane is numerically
     # converged, so later per-30-inlier re-fits are no-ops and closure
     # growth matches the reference within the >=99% agreement budget.
-    growth_mode: str = "hybrid"
+    growth_mode: str = "batched"
     warmup_inliers: int = 120      # 4 * plane_model_reestimation_period
     max_growth_epochs: int = 8
 
@@ -98,6 +100,12 @@ class ClusterRegionConfig:
     # TPU-only static bounds.
     max_regions: int = 128
     max_growth_iters: int = 4096
+
+    # TPU-only CCL strategy: "scan" = statically-unrolled segmented-scan
+    # min-propagation (no data-dependent loops; scan_rounds bounds the
+    # rounds); "while" = fixed-point min-propagation + pointer jumping.
+    ccl_mode: str = "scan"
+    scan_rounds: int = 24
 
 
 @dataclasses.dataclass(frozen=True)

@@ -100,9 +100,15 @@ class Segmenter:
             points, sensor_origin, cfg.normals)
         seed_idx, seed_valid = self._rank_seeds(points, nrm)
         labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
-        dev = planar.grow_planar_regions(
-            points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
-            initial_id_offset=0, max_attempts=cfg.max_region_attempts)
+        if cfg.planar.growth_mode == "batched":
+            from pcseg_tpu.models import planar_batched
+            dev = planar_batched.grow_planar_regions_batched(
+                points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
+                initial_id_offset=0)
+        else:
+            dev = planar.grow_planar_regions(
+                points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
+                initial_id_offset=0, max_attempts=cfg.max_region_attempts)
         return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
 
     def _cluster_stage_impl(self, points, labels):

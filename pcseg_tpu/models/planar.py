@@ -157,10 +157,14 @@ def grow_planar_regions(points: jnp.ndarray,
                 sol = plane_fit.solve(mm)
                 # sticky orientation: the estimator keeps the previous
                 # normal's sign (plane_estimator.cc:209-213); our solve
-                # already signs by normal_hint, so refresh the hint.
+                # already signs by normal_hint, so refresh the hint. On an
+                # invalid fit the reference recenters the plane on the new
+                # centroid keeping the old normal (plane_estimator.cc:224-227).
                 new_hint = jnp.where(sol.valid, sol.normal, mm.normal_hint)
+                recentered = geom.plane_from_normal_point(
+                    mm.normal_hint, sol.centroid)
                 return mm._replace(normal_hint=new_hint), \
-                    jnp.where(sol.valid, sol.plane, pl)
+                    jnp.where(sol.valid, sol.plane, recentered)
 
             new_m, new_plane = jax.lax.cond(
                 crossed, reestimate, lambda a: a, (new_m, plane))
@@ -215,7 +219,9 @@ def grow_planar_regions(points: jnp.ndarray,
                 sol = plane_fit.solve(new_m)
                 new_hint = jnp.where(sol.valid, sol.normal, m.normal_hint)
                 new_m = new_m._replace(normal_hint=new_hint)
-                new_plane = jnp.where(sol.valid, sol.plane, plane)
+                recentered = geom.plane_from_normal_point(
+                    m.normal_hint, sol.centroid)
+                new_plane = jnp.where(sol.valid, sol.plane, recentered)
                 grew = new_count > count
                 return (new_member, new_plane, new_m, new_count,
                         epoch + 1, grew)

