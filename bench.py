@@ -63,11 +63,41 @@ def measure_cpp_baseline(points) -> float:
         return float("nan")
 
 
+def tpu_available(attempts=6, probe_timeout=90, wait_between=30) -> bool:
+    """Probe the (single, contended) TPU in a subprocess so a wedged chip
+    claim can't hang the benchmark; retries in case the claim frees up."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.ones((8, 8)).sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU probe {i + 1}/{attempts} failed; retrying",
+              file=sys.stderr)
+        time.sleep(wait_between)
+    return False
+
+
 def main():
     from pcseg_tpu.utils.synthetic import synthetic_room_cloud
     points_np, origin_np = synthetic_room_cloud(H, W, f=float(H), seed=1)
 
     baseline_pps = measure_cpp_baseline(points_np)
+
+    if not tpu_available():
+        print("bench: TPU unavailable (wedged chip claim?); reporting zero",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "points_per_sec_per_chip_vga_pipeline",
+            "value": 0.0,
+            "unit": "points/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     import jax
     import jax.numpy as jnp

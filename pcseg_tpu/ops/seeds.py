@@ -190,6 +190,54 @@ def rank_plane_support_seeds(count, qualifies, h, w, max_seeds):
     return jnp.where(valid, indices, 0), valid
 
 
+def seeds_from_last_regions(points, normals, prev_centroids, prev_normals,
+                            prev_counts, prev_valid, pose_cur_prev,
+                            max_distance: float,
+                            max_normal_difference_angle: float):
+    """Temporal seed transfer — FindSeedPointsFromLastPlanarRegions
+    (planar_region.h:478-519).
+
+    For each previous region (centroid+normal moved into the current frame
+    by ``pose_cur_prev``), find the nearest current point within
+    ``max_distance`` whose normal agrees within the angle gate. Emitted in
+    the reference's order: ascending previous inlier count (multimap),
+    ties by region index. Returns (indices [R], found [R]) to append to a
+    seed vector (the reference appends without clearing, :516).
+
+    points/normals: [H, W, 3]; prev_*: [R, ...]; pose_cur_prev: geom.Pose.
+    """
+    import math as _math
+
+    h, w = points.shape[0], points.shape[1]
+    c_cur = pose_cur_prev.apply(prev_centroids)          # [R, 3]
+    n_cur = pose_cur_prev.rotate(prev_normals)           # [R, 3]
+    cos_gate = _math.cos(max_normal_difference_angle)
+
+    flat_p = points.reshape(-1, 3)
+    flat_n = normals.reshape(-1, 3)
+    # [R, HW] squared distances; cross term on the MXU
+    cross = jnp.dot(c_cur, flat_p.T, preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(c_cur * c_cur, axis=-1, keepdims=True)
+          - 2.0 * cross
+          + jnp.sum(flat_p * flat_p, axis=-1)[None, :])
+    ndot = jnp.dot(n_cur, flat_n.T, preferred_element_type=jnp.float32)
+    ok = (ndot > cos_gate) & (d2 < max_distance * max_distance) \
+        & jnp.all(jnp.isfinite(flat_p), axis=-1)[None, :]
+    big = jnp.asarray(jnp.inf, points.dtype)
+    masked = jnp.where(ok, d2, big)
+    best = jnp.argmin(masked, axis=-1)
+    found = (jnp.take_along_axis(masked, best[:, None], axis=-1)[:, 0]
+             < big) & prev_valid
+    # row-major flat -> col-major linear index
+    rows = (best // w).astype(jnp.int32)
+    cols = (best % w).astype(jnp.int32)
+    lin = cols * h + rows
+    # multimap order: ascending count, region-index tiebreak
+    r = prev_counts.shape[0]
+    order = jnp.argsort(prev_counts * r + jnp.arange(r, dtype=jnp.int32))
+    return lin[order], found[order]
+
+
 def seeds_from_plane_support(
         points: jnp.ndarray,
         normals: jnp.ndarray,

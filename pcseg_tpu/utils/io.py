@@ -56,6 +56,29 @@ def cloud_to_proto(cloud: cloud_lib.PointCloud,
     return proto
 
 
+def plane_estimator_to_proto(m, proto=None) -> pcseg_pb2.PlaneEstimatorProto:
+    """PlaneMoments -> PlaneEstimatorProto (plane_estimator.cc:231-245);
+    the serializable accumulator is the reference's checkpoint/resume
+    mechanism (SURVEY.md §5)."""
+    if proto is None:
+        proto = pcseg_pb2.PlaneEstimatorProto()
+    proto.covariance_accumulator[:] = np.asarray(m.s2, np.float32).tolist()
+    proto.cumulative_centroid[:] = np.asarray(m.s1, np.float32).tolist()
+    proto.cumulative_weights = float(m.w)
+    proto.normal[:] = np.asarray(m.normal_hint, np.float32).tolist()
+    return proto
+
+
+def plane_estimator_from_proto(proto):
+    """PlaneEstimatorProto -> PlaneMoments (plane_estimator.cc:28-44)."""
+    from pcseg_tpu.ops import plane_fit
+    return plane_fit.PlaneMoments(
+        s2=jnp.asarray(list(proto.covariance_accumulator), jnp.float32),
+        s1=jnp.asarray(list(proto.cumulative_centroid), jnp.float32),
+        w=jnp.asarray(proto.cumulative_weights, jnp.float32),
+        normal_hint=jnp.asarray(list(proto.normal), jnp.float32))
+
+
 def proto_to_cloud(proto: pcseg_pb2.MultichannelCloudProto
                    ) -> cloud_lib.PointCloud:
     rows, cols = proto.height, proto.width
