@@ -50,8 +50,84 @@ def _shift_mask(arr, dr, dc, fill=False):
     return out.at[..., rs_dst, cs_dst].set(arr[..., rs_src, cs_src])
 
 
-def _segmented_or_spread_axes(reach, gate, axis):
-    axis = axis % reach.ndim  # associative_scan(reverse=) needs axis >= 0
+def _pack_bits(masks):
+    """[K, H, W] bool -> [ceil(K/32), H, W] uint32 bit-planes (bit k%32 of
+    word k//32 = slot k). The slot axis rides in the bits so every flood
+    op touches 32x less HBM than the unpacked bool tensor."""
+    k, h, w = masks.shape
+    nw = (k + 31) // 32
+    pad = nw * 32 - k
+    m = masks
+    if pad:
+        m = jnp.concatenate(
+            [m, jnp.zeros((pad, h, w), bool)], axis=0)
+    m = m.reshape(nw, 32, h, w).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(m * weights[None, :, None, None], axis=1,
+                   dtype=jnp.uint32)
+
+
+def _unpack_bits(words, k):
+    """[NW, H, W] uint32 -> [K, H, W] bool."""
+    nw, h, w = words.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[:, None] >> shifts[None, :, None, None]) & jnp.uint32(1)
+    return bits.reshape(nw * 32, h, w)[:k].astype(bool)
+
+
+def _shift_axis(x, d, axis, fill):
+    """out[..., j, ...] = x[..., j - d, ...] along ``axis`` (static d; out of
+    range -> fill). One pad + one slice — the cheapest shift HLOs for both
+    the TPU and CPU backends (no strided slicing, no scatter)."""
+    if d == 0:
+        return x
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    if abs(d) >= n:
+        return jnp.full_like(x, fill)
+    pad = [(0, 0)] * x.ndim
+    idx = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (d, 0)
+        idx[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -d)
+        idx[axis] = slice(-d, n - d)
+    padded = jnp.pad(x, pad, constant_values=x.dtype.type(fill))
+    return padded[tuple(idx)]
+
+
+def _seg_or_scan_packed(v, blocked, axis, reverse):
+    """Segmented inclusive OR-scan on packed bit-planes via Hillis-Steele
+    shift doubling: per bit, result_j = OR of v_i over the run of unblocked
+    elements ending at j (a blocked element keeps only its own v) — exactly
+    the (value, reset) monoid of the previous associative_scan formulation,
+    computed with log2(n) shifted bitwise steps instead of strided slices."""
+    n = v.shape[axis]
+    ones = 0xFFFFFFFF
+    b = blocked
+    d = 1
+    while d < n:
+        s = -d if reverse else d
+        vs = _shift_axis(v, s, axis, 0)
+        bs = _shift_axis(b, s, axis, ones)
+        v = v | (vs & ~b)
+        b = b | bs
+        d *= 2
+    return v
+
+
+def _segmented_or_spread_packed(reach, gate_bits, not_gate, axis):
+    fwd = _seg_or_scan_packed(reach, not_gate, axis, reverse=False)
+    bwd = _seg_or_scan_packed(reach, not_gate, axis, reverse=True)
+    return (fwd | bwd) & gate_bits
+
+
+def _segmented_or_spread_assoc(reach, gate, axis):
+    """associative_scan formulation on unpacked bools (CPU backend: XLA:CPU
+    compiles its concat/strided-slice graph fast, while long pad+slice
+    chains blow its compile time up; the opposite holds on TPU)."""
+    axis = axis % reach.ndim
     v = reach & gate
     reset = ~gate
 
@@ -68,12 +144,25 @@ def _segmented_or_spread_axes(reach, gate, axis):
 
 def flood_fill_static(gate, sources, rounds):
     """Batched segmented-scan flood fill on the last two axes, statically
-    unrolled ``rounds`` times (one round per turn of the winding path)."""
-    reach = sources & gate
+    unrolled ``rounds`` times (one round per turn of the winding path).
+
+    gate/sources: [K, H, W] bool. On TPU the K slots are packed into uint32
+    bit-planes and spread with Hillis-Steele shift-doubling scans (32x less
+    HBM traffic, no strided slicing); on CPU the associative_scan
+    formulation compiles far faster. Both are bit-identical (tested)."""
+    if jax.default_backend() == "cpu":
+        reach = sources & gate
+        for _ in range(rounds):
+            reach = _segmented_or_spread_assoc(reach, gate, axis=-1)
+            reach = _segmented_or_spread_assoc(reach, gate, axis=-2)
+        return reach
+    g = _pack_bits(gate)
+    not_g = ~g
+    reach = _pack_bits(sources & gate)
     for _ in range(rounds):
-        reach = _segmented_or_spread_axes(reach, gate, axis=-1)
-        reach = _segmented_or_spread_axes(reach, gate, axis=-2)
-    return reach
+        reach = _segmented_or_spread_packed(reach, g, not_g, axis=-1)
+        reach = _segmented_or_spread_packed(reach, g, not_g, axis=-2)
+    return _unpack_bits(reach, gate.shape[0])
 
 
 class _Slots(NamedTuple):

@@ -152,23 +152,74 @@ def connected_components_mask(mask, max_iters=64, num_jumps=2,
     return labels
 
 
+def _shift_axis(x, d, axis, fill):
+    """out[..., j, ...] = x[..., j - d, ...] along ``axis`` (static d; out of
+    range -> fill). One pad + one slice — the cheapest shift HLOs for both
+    the TPU and CPU backends (no strided slicing, no scatter)."""
+    if d == 0:
+        return x
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    if abs(d) >= n:
+        return jnp.full_like(x, fill)
+    pad = [(0, 0)] * x.ndim
+    idx = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (d, 0)
+        idx[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -d)
+        idx[axis] = slice(-d, n - d)
+    padded = jnp.pad(x, pad, constant_values=x.dtype.type(fill))
+    return padded[tuple(idx)]
+
+
+def _hs_seg_scan(v, blocked, axis, reverse, kind, identity):
+    """Segmented inclusive scan via Hillis-Steele shift doubling.
+
+    Computes, per position j, the fold of ``kind`` ('or' | 'min') over the
+    run of unblocked elements ending at j (a blocked element contributes
+    only its own value) — the same (value, reset) monoid as a segmented
+    associative_scan, in log2(n) shifted elementwise steps.
+    """
+    axis = axis % v.ndim
+    n = v.shape[axis]
+    b = blocked
+    d = 1
+    while d < n:
+        s = -d if reverse else d
+        vs = _shift_axis(v, s, axis, identity)
+        bs = _shift_axis(b, s, axis, True)
+        if kind == "or":
+            v = v | (vs & ~b)
+        else:
+            v = jnp.where(b, v, jnp.minimum(v, vs))
+        b = b | bs
+        d *= 2
+    return v
+
+
 def _segmented_or_spread(reach, gate, axis):
     """OR-spread ``reach`` within maximal runs of ``gate`` along ``axis``.
 
-    One forward + one backward segmented associative scan — propagates
-    through an entire run in a single vectorized pass (VPU-friendly, no
-    gathers)."""
+    Forward + backward segmented scans — propagates through an entire run
+    in one vectorized pass. TPU: Hillis-Steele shift doubling (pad/slice
+    friendly); CPU: associative_scan (compiles much faster there)."""
     v = reach & gate
     reset = ~gate
+    if jax.default_backend() == "cpu":
+        def combine(a, b):
+            av, ar = a
+            bv, br = b
+            return jnp.where(br, bv, av | bv), ar | br
 
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, av | bv), ar | br
-
-    fwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis)
-    bwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis,
-                                      reverse=True)
+        axis = axis % reach.ndim
+        fwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis)
+        bwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis,
+                                          reverse=True)
+        return (fwd | bwd) & gate
+    fwd = _hs_seg_scan(v, reset, axis, False, "or", False)
+    bwd = _hs_seg_scan(v, reset, axis, True, "or", False)
     return (fwd | bwd) & gate
 
 
@@ -204,22 +255,27 @@ def _segmented_min_scan(labels, edge_ok, axis, big):
     """Min-label spread within runs whose consecutive-cell edges pass
     ``edge_ok`` (edge_ok[c] gates the edge between c-1 and c along axis).
 
-    Forward+backward segmented associative scans — whole runs unify per
-    pass with no gathers."""
+    Forward+backward segmented scans — whole runs unify per pass. TPU:
+    Hillis-Steele shift doubling; CPU: associative_scan (compiles much
+    faster there)."""
     reset = ~edge_ok
-
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
-
-    fwd, _ = jax.lax.associative_scan(combine, (labels, reset), axis=axis)
     # reverse direction: element c's reset severs the edge to c+1, which is
     # gated by edge_ok[c+1]
     reset_rev = ~_shift2(edge_ok, *((1, 0) if axis == 0 else (0, 1)),
                          False)
-    bwd, _ = jax.lax.associative_scan(combine, (labels, reset_rev),
-                                      axis=axis, reverse=True)
+    if jax.default_backend() == "cpu":
+        def combine(a, b):
+            av, ar = a
+            bv, br = b
+            return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+        fwd, _ = jax.lax.associative_scan(combine, (labels, reset),
+                                          axis=axis)
+        bwd, _ = jax.lax.associative_scan(combine, (labels, reset_rev),
+                                          axis=axis, reverse=True)
+        return jnp.minimum(fwd, bwd)
+    fwd = _hs_seg_scan(labels, reset, axis, False, "min", big)
+    bwd = _hs_seg_scan(labels, reset_rev, axis, True, "min", big)
     return jnp.minimum(fwd, bwd)
 
 
