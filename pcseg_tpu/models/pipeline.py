@@ -150,6 +150,31 @@ class Segmenter:
                 jax.vmap(self._forward_impl, in_axes=(0, 0)))
         return self._forward_batched(points_batch, sensor_origins)
 
+    def _stream_impl(self, depth_u16, rays, sensor_origin, depth_scale):
+        """One frame of the production streaming path: u16 range image in,
+        compact labels out (see ops/unproject.py for the payload design)."""
+        from pcseg_tpu.ops import unproject
+        points = unproject.unproject_range(depth_u16, rays, depth_scale)
+        final, nrm, dev, cres = self._forward_impl(points, sensor_origin)
+        # uint8 label wire format: 255 = unlabeled/invalid; planar region
+        # ids then cluster ids are dense and bounded by
+        # planar.max_regions + cluster.max_regions <= 254.
+        labels_u8 = jnp.where(final >= 0, final, 255).astype(jnp.uint8)
+        return labels_u8, dev.num_regions, cres.num_regions, dev.planes
+
+    def device_forward_stream(self, depth_batch_u16, rays, sensor_origin,
+                              depth_scale):
+        """Serving path: [B, H, W] u16 range frames -> ([B, H, W] uint8
+        labels, per-frame region counts, [B, K, 4] planes). One compiled
+        program per batch; 2 bytes/px in, 1 byte/px out — sized for
+        host<->device links (and this environment's relay tunnel)."""
+        if not hasattr(self, "_forward_stream"):
+            self._forward_stream = jax.jit(
+                jax.vmap(self._stream_impl, in_axes=(0, None, None, None)),
+                static_argnums=(3,))
+        return self._forward_stream(depth_batch_u16, rays, sensor_origin,
+                                    depth_scale)
+
     # -- full pipeline ------------------------------------------------------
 
     def segment_frame(self, points, sensor_origin,

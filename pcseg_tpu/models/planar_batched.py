@@ -97,13 +97,19 @@ def _shift_axis(x, d, axis, fill):
     return padded[tuple(idx)]
 
 
-def _seg_or_scan_packed(v, blocked, axis, reverse):
+def _seg_or_scan_packed(v, blocked, axis, reverse, max_run=None):
     """Segmented inclusive OR-scan on packed bit-planes via Hillis-Steele
     shift doubling: per bit, result_j = OR of v_i over the run of unblocked
     elements ending at j (a blocked element keeps only its own v) — exactly
     the (value, reset) monoid of the previous associative_scan formulation,
-    computed with log2(n) shifted bitwise steps instead of strided slices."""
+    computed with log2(n) shifted bitwise steps instead of strided slices.
+
+    ``max_run`` (static) bounds the longest unblocked run the caller can
+    produce (e.g. a radius-r seed box caps runs at 2r+1): the doubling stops
+    there instead of at the full axis length."""
     n = v.shape[axis]
+    if max_run is not None:
+        n = min(n, max_run)
     ones = 0xFFFFFFFF
     b = blocked
     d = 1
@@ -117,9 +123,10 @@ def _seg_or_scan_packed(v, blocked, axis, reverse):
     return v
 
 
-def _segmented_or_spread_packed(reach, gate_bits, not_gate, axis):
-    fwd = _seg_or_scan_packed(reach, not_gate, axis, reverse=False)
-    bwd = _seg_or_scan_packed(reach, not_gate, axis, reverse=True)
+def _segmented_or_spread_packed(reach, gate_bits, not_gate, axis,
+                                max_run=None):
+    fwd = _seg_or_scan_packed(reach, not_gate, axis, False, max_run)
+    bwd = _seg_or_scan_packed(reach, not_gate, axis, True, max_run)
     return (fwd | bwd) & gate_bits
 
 
@@ -142,14 +149,16 @@ def _segmented_or_spread_assoc(reach, gate, axis):
     return (fwd | bwd) & gate
 
 
-def flood_fill_static(gate, sources, rounds):
+def flood_fill_static(gate, sources, rounds, max_run=None):
     """Batched segmented-scan flood fill on the last two axes, statically
     unrolled ``rounds`` times (one round per turn of the winding path).
 
-    gate/sources: [K, H, W] bool. On TPU the K slots are packed into uint32
-    bit-planes and spread with Hillis-Steele shift-doubling scans (32x less
-    HBM traffic, no strided slicing); on CPU the associative_scan
-    formulation compiles far faster. Both are bit-identical (tested)."""
+    gate/sources: [K, H, W] bool. ``max_run`` (static or None) bounds the
+    longest gate-true run along either axis (see _seg_or_scan_packed). On
+    TPU the K slots are packed into uint32 bit-planes and spread with
+    Hillis-Steele shift-doubling scans (32x less HBM traffic, no strided
+    slicing); on CPU the associative_scan formulation compiles far faster.
+    Both are bit-identical (tested)."""
     if jax.default_backend() == "cpu":
         reach = sources & gate
         for _ in range(rounds):
@@ -160,8 +169,8 @@ def flood_fill_static(gate, sources, rounds):
     not_g = ~g
     reach = _pack_bits(sources & gate)
     for _ in range(rounds):
-        reach = _segmented_or_spread_packed(reach, g, not_g, axis=-1)
-        reach = _segmented_or_spread_packed(reach, g, not_g, axis=-2)
+        reach = _segmented_or_spread_packed(reach, g, not_g, -1, max_run)
+        reach = _segmented_or_spread_packed(reach, g, not_g, -2, max_run)
     return _unpack_bits(reach, gate.shape[0])
 
 
@@ -279,7 +288,8 @@ def grow_planar_regions_batched(
         """Batched plane re-fit from current members (one matmul + one
         batched eigensolve)."""
         wts = slots.members.astype(dtype).reshape(k_cap, hw)
-        sums = jnp.dot(wts, feat, preferred_element_type=jnp.float32)
+        sums = jnp.dot(wts, feat, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         m = plane_fit.PlaneMoments(s2=sums[:, :6], s1=sums[:, 6:9],
                                    w=sums[:, 9], normal_hint=slots.hint)
         sol = plane_fit.solve(m)
@@ -307,7 +317,7 @@ def grow_planar_regions_batched(
         return ((jnp.abs(rows_grid[None] - sr[:, None, None]) <= radius)
                 & (jnp.abs(cols_grid[None] - sc[:, None, None]) <= radius))
 
-    def epoch(slots, assign, radius=None, debug_tag=None):
+    def epoch(slots, assign, radius=None, debug_tag=None, rounds=None):
         covered = jnp.any(slots.members, axis=0)
         if assign:
             slots = assign_founders(slots, covered)
@@ -322,14 +332,23 @@ def grow_planar_regions_batched(
         claim_rank = jnp.where(claim < k_cap, slots.rank[jnp.clip(
             claim, 0, k_cap - 1)], inf_rank)
         dist = jnp.abs(
-            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points)
+            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
+                       precision=jax.lax.Precision.HIGHEST)
             + slots.plane[:, 3][:, None, None])
         gate = (dist < tau) & eligible0[None] \
             & (claim_rank[None] >= slots.rank[:, None, None]) \
             & slots.alive[:, None, None] \
             & seed_box(slots, radius)
         gate = gate | members
-        reach = flood_fill_static(gate, members, flood_rounds)
+        # A radius-r seed box caps every gate-true run at 2r+1 cells
+        # (members stay inside their slot's box across boxed epochs, since
+        # membership is monotone and the seed is fixed while a slot lives),
+        # so the doubling scans can stop early; boxed epochs also converge
+        # in fewer rounds (the wavefront can't wind far inside the box).
+        max_run = None if radius is None else 2 * radius + 1
+        reach = flood_fill_static(
+            gate, members, flood_rounds if rounds is None else rounds,
+            max_run=max_run)
         _, new_members = claims_of(reach, slots.rank)
         counts = jnp.sum(new_members.astype(jnp.int32), axis=(1, 2))
         # Sequential parity: a seed claimed by a better-ranked region is
@@ -364,13 +383,16 @@ def grow_planar_regions_batched(
                | _shift_mask(slots.members, 0, 1)
                | _shift_mask(slots.members, 0, -1))
         adj = jnp.dot(dil.reshape(k_cap, hw).astype(dtype), mem.T,
-                      preferred_element_type=jnp.float32) > 0
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) > 0
         dist_all = jnp.abs(
-            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points)
+            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
+                       precision=jax.lax.Precision.HIGHEST)
             + slots.plane[:, 3][:, None, None])
         band = (dist_all < tau).reshape(k_cap, hw).astype(dtype)
         # in_band[a, b] = |members_a ∧ band_b|
-        in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32)
+        in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         frac = in_band / jnp.maximum(counts, 1.0)[:, None]
         alive2 = slots.alive[:, None] & slots.alive[None, :]
         link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
@@ -380,7 +402,8 @@ def grow_planar_regions_batched(
         for _ in range(3):  # 2^3 = 8 hops >= any chain among 64 slots? use 6
             closure = closure | (jnp.dot(
                 closure.astype(dtype), closure.astype(dtype),
-                preferred_element_type=jnp.float32) > 0)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) > 0)
         # winner of each group: slot holding the min rank
         grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
                                      inf_rank), axis=1)
@@ -392,7 +415,8 @@ def grow_planar_regions_batched(
         g = (winner[None, :] == jnp.arange(k_cap,
                                            dtype=jnp.int32)[:, None])
         merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
-                            slots.members.astype(dtype)) > 0
+                            slots.members.astype(dtype),
+                            precision=jax.lax.Precision.HIGHEST) > 0
         alive = slots.alive & is_winner & jnp.any(
             merged.reshape(k_cap, hw), axis=1)
         return slots._replace(
@@ -411,8 +435,13 @@ def grow_planar_regions_batched(
             and radii[-2] < max(h, w):
         radii[-2] = None
     for e in range(total_epochs):
+        # boxed epochs converge in a handful of rounds (the path can't wind
+        # far inside a small box); spend the full budget only when unbounded
+        rounds_e = flood_rounds if radii[e] is None \
+            else min(flood_rounds, 4)
         slots = epoch(slots, assign=True, radius=radii[e],
-                      debug_tag=f"epoch{e}" if dbg else None)
+                      debug_tag=f"epoch{e}" if dbg else None,
+                      rounds=rounds_e)
     slots = merge_coplanar(slots)
     slots, _, _ = refit(slots)
     slots = epoch(slots, assign=True,

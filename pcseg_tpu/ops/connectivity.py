@@ -314,8 +314,10 @@ def connected_components_scan(points, eligible, squared_threshold,
 
     labels = jnp.where(eligible, colmajor_index_grid(h, w), big)
     for _ in range(rounds):
-        labels = _segmented_min_scan(labels, row_edge, axis=1, big=big)
-        labels = _segmented_min_scan(labels, col_edge, axis=0, big=big)
+        # big as a Python int: it feeds jnp.pad's constant_values in the
+        # doubling-scan shifts, which needs a static fill value.
+        labels = _segmented_min_scan(labels, row_edge, axis=1, big=h * w)
+        labels = _segmented_min_scan(labels, col_edge, axis=0, big=h * w)
         for (dr, dc), gate in zip(offsets, gates):
             nb = _shift2(labels, dr, dc, big)
             labels = jnp.minimum(labels, jnp.where(gate, nb, big))

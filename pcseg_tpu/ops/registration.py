@@ -29,7 +29,8 @@ def nearest_neighbors(source: jnp.ndarray, dest: jnp.ndarray,
     ``tile`` bounds the distance-matrix working set for large N.
     """
     def block(src):
-        cross = jnp.dot(src, dest.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(src, dest.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         d2 = (jnp.sum(src * src, axis=-1, keepdims=True)
               - 2.0 * cross
               + jnp.sum(dest * dest, axis=-1)[None, :])
@@ -67,7 +68,8 @@ def compute_rigid_transform(source: jnp.ndarray, dest: jnp.ndarray,
     s = (source - c_s) * weights[:, None]
     d = dest - c_d
     # SD^T accumulated as a 3x3 matmul (algorithms.h:576-581)
-    sdt = jnp.dot(s.T, d, preferred_element_type=jnp.float32)
+    sdt = jnp.dot(s.T, d, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(sdt, full_matrices=True)
     v = vt.T
     det = jnp.linalg.det(u) * jnp.linalg.det(v)

@@ -216,11 +216,13 @@ def seeds_from_last_regions(points, normals, prev_centroids, prev_normals,
     flat_p = points.reshape(-1, 3)
     flat_n = normals.reshape(-1, 3)
     # [R, HW] squared distances; cross term on the MXU
-    cross = jnp.dot(c_cur, flat_p.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(c_cur, flat_p.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = (jnp.sum(c_cur * c_cur, axis=-1, keepdims=True)
           - 2.0 * cross
           + jnp.sum(flat_p * flat_p, axis=-1)[None, :])
-    ndot = jnp.dot(n_cur, flat_n.T, preferred_element_type=jnp.float32)
+    ndot = jnp.dot(n_cur, flat_n.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     ok = (ndot > cos_gate) & (d2 < max_distance * max_distance) \
         & jnp.all(jnp.isfinite(flat_p), axis=-1)[None, :]
     big = jnp.asarray(jnp.inf, points.dtype)
