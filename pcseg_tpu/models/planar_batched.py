@@ -130,47 +130,39 @@ def _segmented_or_spread_packed(reach, gate_bits, not_gate, axis,
     return (fwd | bwd) & gate_bits
 
 
-def _segmented_or_spread_assoc(reach, gate, axis):
-    """associative_scan formulation on unpacked bools (CPU backend: XLA:CPU
-    compiles its concat/strided-slice graph fast, while long pad+slice
-    chains blow its compile time up; the opposite holds on TPU)."""
-    axis = axis % reach.ndim
-    v = reach & gate
-    reset = ~gate
-
-    def combine(a, b):
-        av, ar = a
-        bv, br = b
-        return jnp.where(br, bv, av | bv), ar | br
-
-    fwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis)
-    bwd, _ = jax.lax.associative_scan(combine, (v, reset), axis=axis,
-                                      reverse=True)
-    return (fwd | bwd) & gate
-
-
 def flood_fill_static(gate, sources, rounds, max_run=None):
-    """Batched segmented-scan flood fill on the last two axes, statically
-    unrolled ``rounds`` times (one round per turn of the winding path).
+    """Batched segmented-scan flood fill on the last two axes: one round of
+    row+column segmented spread per 'turn' of the winding path, iterated to
+    the (unique, monotone) fixed point under a while_loop with a ``rounds``
+    cap — loop iterations execute on-device at full speed (CLAUDE.md
+    roofline) so only the rounds actually needed are paid for, and the body
+    compiles once.
 
     gate/sources: [K, H, W] bool. ``max_run`` (static or None) bounds the
-    longest gate-true run along either axis (see _seg_or_scan_packed). On
-    TPU the K slots are packed into uint32 bit-planes and spread with
-    Hillis-Steele shift-doubling scans (32x less HBM traffic, no strided
-    slicing); on CPU the associative_scan formulation compiles far faster.
-    Both are bit-identical (tested)."""
-    if jax.default_backend() == "cpu":
-        reach = sources & gate
-        for _ in range(rounds):
-            reach = _segmented_or_spread_assoc(reach, gate, axis=-1)
-            reach = _segmented_or_spread_assoc(reach, gate, axis=-2)
-        return reach
+    longest gate-true run along either axis (see _seg_or_scan_packed). The
+    K slots are packed into uint32 bit-planes and spread with Hillis-Steele
+    shift-doubling scans (32x less HBM traffic than unpacked bools, no
+    strided slicing) — bit-identical to the associative_scan formulation
+    (tested)."""
     g = _pack_bits(gate)
     not_g = ~g
-    reach = _pack_bits(sources & gate)
-    for _ in range(rounds):
+    reach0 = _pack_bits(sources & gate)
+
+    def one_round(reach):
         reach = _segmented_or_spread_packed(reach, g, not_g, -1, max_run)
-        reach = _segmented_or_spread_packed(reach, g, not_g, -2, max_run)
+        return _segmented_or_spread_packed(reach, g, not_g, -2, max_run)
+
+    def cond(state):
+        reach, prev, it = state
+        return (it < rounds) & jnp.any(reach != prev)
+
+    def body(state):
+        reach, _, it = state
+        return one_round(reach), reach, it + 1
+
+    first = one_round(reach0)
+    reach, _, _ = jax.lax.while_loop(cond, body,
+                                     (first, reach0, jnp.int32(1)))
     return _unpack_bits(reach, gate.shape[0])
 
 

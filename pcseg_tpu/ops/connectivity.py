@@ -312,8 +312,9 @@ def connected_components_scan(points, eligible, squared_threshold,
     row_edge = gate_by_offset[(0, -1)]   # ok[r, c] links to (r, c-1)
     col_edge = gate_by_offset[(-1, 0)]   # ok[r, c] links to (r-1, c)
 
-    labels = jnp.where(eligible, colmajor_index_grid(h, w), big)
-    for _ in range(rounds):
+    labels0 = jnp.where(eligible, colmajor_index_grid(h, w), big)
+
+    def one_round(labels):
         # big as a Python int: it feeds jnp.pad's constant_values in the
         # doubling-scan shifts, which needs a static fill value.
         labels = _segmented_min_scan(labels, row_edge, axis=1, big=h * w)
@@ -321,6 +322,22 @@ def connected_components_scan(points, eligible, squared_threshold,
         for (dr, dc), gate in zip(offsets, gates):
             nb = _shift2(labels, dr, dc, big)
             labels = jnp.minimum(labels, jnp.where(gate, nb, big))
+        return labels
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < rounds) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        return one_round(labels), labels, it + 1
+
+    # While-loop to the (unique, monotone-decreasing) fixed point with a
+    # ``rounds`` cap: iterations run on-device at full speed, so only the
+    # rounds a scene actually needs are paid for (real depth scenes: 2-4).
+    first = one_round(labels0)
+    labels, _, _ = jax.lax.while_loop(cond, body,
+                                      (first, labels0, jnp.int32(1)))
     return jnp.where(eligible, labels, big)
 
 
