@@ -175,6 +175,72 @@ class _Slots(NamedTuple):
     members: jnp.ndarray    # [K, H, W]
 
 
+def merge_coplanar(slots: _Slots, points: jnp.ndarray, tau) -> _Slots:
+    """Fuse adjacent slots growing the same physical plane.
+
+    A slot founded from a degenerate (line-like) seed neighborhood can
+    stall with an invalid fit while a sibling slot claims the rest of
+    the surface; sequentially they would be ONE region. Merge rule:
+    members touch (4-adjacency) and >=90% of one slot's members lie
+    within tau of the other's plane; groups close transitively and the
+    best (earliest-popped) rank wins — matching the sequential id.
+    """
+    k_cap, h, w = slots.members.shape
+    hw = h * w
+    dtype = points.dtype
+    inf_rank = jnp.int32(2**31 - 1)
+    mem = slots.members.reshape(k_cap, hw).astype(dtype)
+    counts = jnp.sum(mem, axis=1)
+    dil = (slots.members
+           | _shift_mask(slots.members, 1, 0)
+           | _shift_mask(slots.members, -1, 0)
+           | _shift_mask(slots.members, 0, 1)
+           | _shift_mask(slots.members, 0, -1))
+    adj = jnp.dot(dil.reshape(k_cap, hw).astype(dtype), mem.T,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) > 0
+    dist_all = jnp.abs(
+        jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
+                   precision=jax.lax.Precision.HIGHEST)
+        + slots.plane[:, 3][:, None, None])
+    band = (dist_all < tau).reshape(k_cap, hw).astype(dtype)
+    # in_band[a, b] = |members_a ∧ band_b|
+    in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    frac = in_band / jnp.maximum(counts, 1.0)[:, None]
+    alive2 = slots.alive[:, None] & slots.alive[None, :]
+    link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
+    link = link | jnp.eye(k_cap, dtype=bool)
+    # transitive closure by repeated squaring: after s squarings paths
+    # of length 2^s are connected, so ceil(log2(K)) squarings close any
+    # chain among K slots (K-1 hops max). K<=64 -> 6 tiny KxK matmuls.
+    closure = link
+    for _ in range(max(1, (k_cap - 1).bit_length())):
+        closure = closure | (jnp.dot(
+            closure.astype(dtype), closure.astype(dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) > 0)
+    # winner of each group: slot holding the min rank
+    grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
+                                 inf_rank), axis=1)
+    winner = jnp.argmin(jnp.where(closure, slots.rank[None, :],
+                                  inf_rank), axis=1).astype(jnp.int32)
+    is_winner = winner == jnp.arange(k_cap, dtype=jnp.int32)
+    # group membership matrix g[a, k] = winner[k] == a; members of the
+    # group OR into the winner row
+    g = (winner[None, :] == jnp.arange(k_cap,
+                                       dtype=jnp.int32)[:, None])
+    merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
+                        slots.members.astype(dtype),
+                        precision=jax.lax.Precision.HIGHEST) > 0
+    alive = slots.alive & is_winner & jnp.any(
+        merged.reshape(k_cap, hw), axis=1)
+    return slots._replace(
+        members=jnp.where(alive[:, None, None], merged, False),
+        alive=alive,
+        rank=jnp.where(alive, grp_rank, slots.rank))
+
+
 def grow_planar_regions_batched(
         points: jnp.ndarray,
         normals: jnp.ndarray,
@@ -357,65 +423,6 @@ def grow_planar_regions_batched(
         slots, _, _ = refit(slots)
         return slots
 
-    def merge_coplanar(slots):
-        """Fuse adjacent slots growing the same physical plane.
-
-        A slot founded from a degenerate (line-like) seed neighborhood can
-        stall with an invalid fit while a sibling slot claims the rest of
-        the surface; sequentially they would be ONE region. Merge rule:
-        members touch (4-adjacency) and >=90% of one slot's members lie
-        within tau of the other's plane; groups close transitively and the
-        best (earliest-popped) rank wins — matching the sequential id.
-        """
-        mem = slots.members.reshape(k_cap, hw).astype(dtype)
-        counts = jnp.sum(mem, axis=1)
-        dil = (slots.members
-               | _shift_mask(slots.members, 1, 0)
-               | _shift_mask(slots.members, -1, 0)
-               | _shift_mask(slots.members, 0, 1)
-               | _shift_mask(slots.members, 0, -1))
-        adj = jnp.dot(dil.reshape(k_cap, hw).astype(dtype), mem.T,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST) > 0
-        dist_all = jnp.abs(
-            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
-                       precision=jax.lax.Precision.HIGHEST)
-            + slots.plane[:, 3][:, None, None])
-        band = (dist_all < tau).reshape(k_cap, hw).astype(dtype)
-        # in_band[a, b] = |members_a ∧ band_b|
-        in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        frac = in_band / jnp.maximum(counts, 1.0)[:, None]
-        alive2 = slots.alive[:, None] & slots.alive[None, :]
-        link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
-        link = link | jnp.eye(k_cap, dtype=bool)
-        # transitive closure by repeated squaring (K is small)
-        closure = link
-        for _ in range(3):  # 2^3 = 8 hops >= any chain among 64 slots? use 6
-            closure = closure | (jnp.dot(
-                closure.astype(dtype), closure.astype(dtype),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) > 0)
-        # winner of each group: slot holding the min rank
-        grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
-                                     inf_rank), axis=1)
-        winner = jnp.argmin(jnp.where(closure, slots.rank[None, :],
-                                      inf_rank), axis=1).astype(jnp.int32)
-        is_winner = winner == jnp.arange(k_cap, dtype=jnp.int32)
-        # group membership matrix g[a, k] = winner[k] == a; members of the
-        # group OR into the winner row
-        g = (winner[None, :] == jnp.arange(k_cap,
-                                           dtype=jnp.int32)[:, None])
-        merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
-                            slots.members.astype(dtype),
-                            precision=jax.lax.Precision.HIGHEST) > 0
-        alive = slots.alive & is_winner & jnp.any(
-            merged.reshape(k_cap, hw), axis=1)
-        return slots._replace(
-            members=jnp.where(alive[:, None, None], merged, False),
-            alive=alive,
-            rank=jnp.where(alive, grp_rank, slots.rank))
-
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
     # geometric radius schedule: local first (cadence emulation), global by
@@ -434,7 +441,7 @@ def grow_planar_regions_batched(
         slots = epoch(slots, assign=True, radius=radii[e],
                       debug_tag=f"epoch{e}" if dbg else None,
                       rounds=rounds_e)
-    slots = merge_coplanar(slots)
+    slots = merge_coplanar(slots, points, tau)
     slots, _, _ = refit(slots)
     slots = epoch(slots, assign=True,
                   debug_tag="post-merge" if dbg else None)
