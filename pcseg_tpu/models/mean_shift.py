@@ -193,18 +193,148 @@ def grow_mean_shift_regions(points: np.ndarray, labels: np.ndarray,
     return regions
 
 
+def _mode_members_impl(points, labels, seed_pos, start_lin, config,
+                       params):
+    """Device closure of one mode's growth (mean_shift_segmentation.h:152-199).
+
+    The reference BFS accepts candidate c from source s iff
+    ``d2(c, mode) <= 1`` or (not the first expansion and
+    ``d2(c, s) <= 0.04``). The accepted set is therefore the closure of:
+      * the window-connected component of the centroid ball containing the
+        start pixel, plus
+      * 0.04-edge window chains hanging off it (which may re-enter other
+        ball components, joined to a fixed point).
+    Same BFS-vs-closure divergence class as models/cluster.py (documented
+    there): a candidate the BFS rejects through every enqueued source but
+    that is closure-reachable joins here; <1% of points on coherent clouds.
+    The first-expansion quirk (neighbor rule off for the start pixel) is
+    closure-irrelevant except for 0.04-chains anchored ONLY at the start
+    pixel — absorbed by the same budget.
+
+    start_lin: ROW-major linear index of the rounded mode pixel.
+    Returns [H, W] bool member mask (empty if the start pixel is claimed).
+    """
+    from pcseg_tpu.ops import connectivity
+
+    h, w = points.shape[0], points.shape[1]
+    hw = h * w
+    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    elig = (labels == UNLABELED) & finite
+    d2seed = jnp.sum(jnp.square(points - seed_pos), axis=-1)
+    ball = elig & (d2seed <= params.squared_centroid_distance_threshold)
+
+    half = config.half_search_window
+    comp_ball = connectivity.connected_components_window(
+        points, ball, jnp.asarray(jnp.inf, points.dtype), half)
+    comp_004 = connectivity.connected_components_window(
+        points, elig,
+        jnp.asarray(params.squared_neighbor_distance_threshold,
+                    points.dtype), half)
+
+    start = (jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
+             == start_lin) & ball
+
+    offsets = [(dr, dc) for dc in range(-half, half + 1)
+               for dr in range(-half, half + 1) if (dr, dc) != (0, 0)]
+
+    def joined(r, comp, cells):
+        table = connectivity.segment_field(
+            r.astype(jnp.int32), comp, cells, h, w, "sum") > 0
+        hit = table[jnp.clip(comp.reshape(-1), 0, hw - 1)].reshape(h, w)
+        return r | (cells & (comp.reshape(h, w) < hw) & hit)
+
+    def one_round(r):
+        # window-dilate into the ball (entry from outside-ball members)
+        d = r
+        for dr, dc in offsets:
+            d = d | connectivity._shift2(r, dr, dc, False)
+        r = r | (ball & d)
+        r = joined(r, comp_ball, ball)
+        r = joined(r, comp_004, elig)
+        return r
+
+    def cond(state):
+        r, prev = state
+        return jnp.any(r != prev)
+
+    def body(state):
+        r, _ = state
+        return one_round(r), r
+
+    first = one_round(start)
+    r, _ = jax.lax.while_loop(cond, body, (first, start))
+    return r
+
+
+def grow_mean_shift_regions_device(points, labels, state: MeanShiftState,
+                                   config: ClusterRegionConfig,
+                                   initial_region_id_offset: int = 0,
+                                   params: MeanShiftParams = MeanShiftParams()
+                                   ) -> List[MeanShiftRegion]:
+    """Mode ordering + suppression on host (exact, tiny), per-mode growth on
+    device (one jitted closure per attempted mode). Mutates ``labels``."""
+    h, w = points.shape[0], points.shape[1]
+    pos = np.asarray(state.pos)
+    idx = np.asarray(state.idx)
+    valid = np.asarray(state.valid)
+    intensity = np.asarray(state.intensity)
+
+    order = np.nonzero(valid)[0]
+    order = order[np.argsort(intensity[order], kind="stable")]
+
+    grow = jax.jit(lambda p, l, s, i: _mode_members_impl(
+        p, l, s, i, config, params))
+    points_j = jnp.asarray(points)
+
+    regions: List[MeanShiftRegion] = []
+    suppressed = np.zeros(len(valid), bool)
+    for i, s in enumerate(order):
+        if suppressed[s]:
+            continue
+        r0 = int(round(float(idx[s, 0])))
+        c0 = int(round(float(idx[s, 1])))
+        if not (0 <= r0 < h and 0 <= c0 < w):
+            continue
+        if labels[r0, c0] != UNLABELED:
+            continue  # start pixel claimed -> empty attempt
+        seed_pos = pos[s].astype(np.float32)
+        members = np.asarray(grow(points_j, jnp.asarray(labels),
+                                  jnp.asarray(seed_pos),
+                                  jnp.int32(r0 * w + c0)))
+        count = int(members.sum())
+        if count >= config.min_region_inliers:
+            label_id = len(regions) + initial_region_id_offset
+            labels[members] = label_id
+            later = order[i + 1:]
+            d2 = np.sum((pos[later] - seed_pos) ** 2, axis=-1)
+            suppressed[later[
+                d2 < params.squared_centroid_distance_threshold]] = True
+            rr, cc = np.nonzero(members)
+            regions.append(MeanShiftRegion(
+                label_id=label_id,
+                inlier_indices=np.sort(cc * h + rr).astype(np.int64),
+                seed=seed_pos))
+    return regions
+
+
 def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
                        iterations: int, initial_region_id_offset: int = 0,
-                       params: MeanShiftParams = MeanShiftParams()):
-    """Full SlidingMeanShift: device shift fixed point + host growth.
+                       params: MeanShiftParams = MeanShiftParams(),
+                       growth: str = "device"):
+    """Full SlidingMeanShift: device shift fixed point + region growth.
 
     Args mirror the reference entry point (mean_shift_segmentation.h:208).
     ``labels`` is numpy [H, W]; mutated in place like the C++. Returns the
-    region list.
+    region list. ``growth``: "device" (production closure growth) or
+    "host" (exact FIFO port, the parity oracle).
     """
     state = jax.jit(
         lambda p, l: mean_shift_modes(p, l, iterations, params))(
         jnp.asarray(points), jnp.asarray(labels))
+    if growth == "device":
+        return grow_mean_shift_regions_device(
+            np.asarray(points), labels, state, config,
+            initial_region_id_offset, params)
     return grow_mean_shift_regions(
         np.asarray(points), labels, state, config,
         initial_region_id_offset, params)

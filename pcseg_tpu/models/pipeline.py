@@ -24,8 +24,8 @@ import numpy as np
 
 from pcseg_tpu.models import boundary, classify, cluster, extract, planar
 from pcseg_tpu.models.config import (
-    UNLABELED, ClusterRegionConfig, ComputeNormalsParams,
-    PlaneClassificationConfig, PlanarRegionConfig,
+    UNLABELED, ClusterMethod, ClusterRegionConfig, ComputeNormalsParams,
+    MeanShiftParams, PlaneClassificationConfig, PlanarRegionConfig,
     SeedsFromPlaneSupportParams, SeedsFromAverageNormalsParams,
     SEMANTIC_UNKNOWN)
 from pcseg_tpu.ops import normals as normals_op
@@ -47,6 +47,12 @@ class SegmenterConfig:
     known_floor_point: tuple = (0.0, 0.0, -1.0)
     run_clustering: bool = True
     max_region_attempts: int = 256
+    # ClusterMethod.MEAN_SHIFT (region_segmentation_config.proto:23-29)
+    # knobs: the reference's SlidingMeanShift takes the iteration count as a
+    # call argument (mean_shift_segmentation.h:209); constants from
+    # mean_shift_segmentation.h:31-51.
+    mean_shift: MeanShiftParams = MeanShiftParams()
+    mean_shift_iterations: int = 5
 
 
 class FrameMetrics(NamedTuple):
@@ -200,14 +206,26 @@ class Segmenter:
         labels_final = labels
 
         if cfg.run_clustering:
-            cres = self._cluster_stage(points_j, jnp.asarray(labels))
-            cl = np.asarray(cres.labels)
-            # shift cluster ids above the planar ids
-            mask = (cl >= 0) & (labels == UNLABELED)
-            labels_final = labels.copy()
-            labels_final[mask] = cl[mask] + num_planar
-            num_clusters = int(cres.num_regions)
-            cluster_sizes = np.asarray(cres.region_sizes)[:num_clusters]
+            if cfg.cluster.cluster_method == ClusterMethod.MEAN_SHIFT:
+                # SlidingMeanShift path (mean_shift_segmentation.h:207-330):
+                # labels mutated in place, region ids follow the planar ids.
+                from pcseg_tpu.models import mean_shift
+                labels_final = labels.copy()
+                ms_regions = mean_shift.sliding_mean_shift(
+                    points_np, labels_final, cfg.cluster,
+                    cfg.mean_shift_iterations, num_planar, cfg.mean_shift)
+                num_clusters = len(ms_regions)
+                cluster_sizes = np.asarray(
+                    [len(r.inlier_indices) for r in ms_regions], np.int32)
+            else:
+                cres = self._cluster_stage(points_j, jnp.asarray(labels))
+                cl = np.asarray(cres.labels)
+                # shift cluster ids above the planar ids
+                mask = (cl >= 0) & (labels == UNLABELED)
+                labels_final = labels.copy()
+                labels_final[mask] = cl[mask] + num_planar
+                num_clusters = int(cres.num_regions)
+                cluster_sizes = np.asarray(cres.region_sizes)[:num_clusters]
 
         for rec in records:
             objects.append(extract.planar_detected_object_from_labels(

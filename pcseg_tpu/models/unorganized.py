@@ -15,7 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pcseg_tpu.models.config import UNLABELED, ClusterRegionConfig
+from pcseg_tpu.models.config import (
+    UNLABELED, ClusterRegionConfig, MeanShiftParams)
 from pcseg_tpu.models import cluster as cluster_model
 from pcseg_tpu.ops import voxelize
 
@@ -78,4 +79,48 @@ def cluster_unorganized(points: jnp.ndarray,
         point_labels=point_labels,
         grid_labels=grid_labels,
         num_regions=num_regions,
+        region_sizes=sizes)
+
+
+def cluster_unorganized_mean_shift(
+        points,
+        config: ClusterRegionConfig = ClusterRegionConfig(),
+        cell_size: float = 0.25,
+        grid_shape=(512, 512),
+        origin=None,
+        iterations: int = 5,
+        params: MeanShiftParams = MeanShiftParams()
+        ) -> UnorganizedClusterResult:
+    """ClusterMethod.MEAN_SHIFT on a [N, 3] unorganized cloud
+    (region_segmentation_config.proto:23-29 + BASELINE config 3).
+
+    Voxelizes to a cell-centroid grid (like :func:`cluster_unorganized`),
+    runs SlidingMeanShift over the organized representative grid (device
+    shift fixed point + per-mode closure growth), scatters cell labels
+    back to points. Not jittable end to end (mode ordering is the
+    reference's sequential host pass); the hot phases are device programs.
+    """
+    import numpy as np
+
+    grid = voxelize.voxelize_xy(points, cell_size, grid_shape, origin)
+    gx, gy = grid_shape
+    grid_pts = np.asarray(grid.points)
+
+    labels = np.full((gx, gy), UNLABELED, np.int32)
+    from pcseg_tpu.models import mean_shift
+    regions = mean_shift.sliding_mean_shift(
+        grid_pts, labels, config, iterations, 0, params)
+
+    raw_point_labels = voxelize.scatter_labels_to_points(
+        jnp.asarray(labels), grid.point_cell)
+
+    r_cap = config.max_regions
+    sizes = jax.ops.segment_sum(
+        jnp.where((raw_point_labels >= 0) & (raw_point_labels < r_cap),
+                  1, 0),
+        jnp.clip(raw_point_labels, 0, r_cap - 1), num_segments=r_cap)
+    return UnorganizedClusterResult(
+        point_labels=raw_point_labels,
+        grid_labels=jnp.asarray(labels),
+        num_regions=jnp.asarray(len(regions), jnp.int32),
         region_sizes=sizes)

@@ -112,3 +112,59 @@ class TestSlidingMeanShiftEndToEnd:
             pts, labels, ClusterRegionConfig(), iterations=3,
             initial_region_id_offset=1)
         np.testing.assert_array_equal(labels[:6, :6], before[:6, :6])
+
+
+class TestDeviceGrowth:
+    def test_device_matches_host_growth(self):
+        """Closure growth (production) vs the exact FIFO port on blobs."""
+        pts = blob_cloud(seed=7)
+        h, w = pts.shape[:2]
+        cfg = ClusterRegionConfig()
+        la = np.full((h, w), UNLABELED, np.int32)
+        ra = mean_shift.sliding_mean_shift(pts, la, cfg, 5, 0,
+                                           growth="device")
+        lb = np.full((h, w), UNLABELED, np.int32)
+        rb = mean_shift.sliding_mean_shift(pts, lb, cfg, 5, 0, growth="host")
+        assert (la == lb).mean() >= 0.99
+        assert len(ra) == len(rb)
+
+
+class TestPipelineMeanShift:
+    def test_segment_frame_mean_shift(self):
+        """ClusterMethod.MEAN_SHIFT end to end through Segmenter
+        (region_segmentation_config.proto:23-29)."""
+        import dataclasses
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.models.config import ClusterMethod
+
+        pts = blob_cloud(h=32, w=32, seed=4)
+        cfg = pipeline.SegmenterConfig(
+            cluster=dataclasses.replace(
+                ClusterRegionConfig(),
+                cluster_method=ClusterMethod.MEAN_SHIFT))
+        seg = pipeline.Segmenter(cfg)
+        res = seg.segment_frame(pts, np.zeros(3, np.float32))
+        assert res.metrics.num_clusters >= 2
+        # cluster ids follow planar ids and are dense
+        ids = np.unique(res.labels[res.labels >= 0])
+        assert len(ids) == res.metrics.num_planar_regions \
+            + res.metrics.num_clusters
+
+    def test_unorganized_mean_shift(self):
+        from pcseg_tpu.models import unorganized
+        rng = np.random.default_rng(0)
+        blobs = np.concatenate([
+            c + rng.normal(0, 0.3, (4000, 3)).astype(np.float32)
+            for c in np.array([[0, 0, 0], [12, 0, 0], [0, 14, 0]],
+                              np.float32)])
+        # cell_size must keep >=50 occupied cells inside the 1 m ball of a
+        # mode (the reference's support gate, mean_shift_segmentation.h:
+        # 244-249, assumes dense organized grids): 0.1 m cells put ~300
+        # cells in the ball of each blob.
+        res = unorganized.cluster_unorganized_mean_shift(
+            jnp.asarray(blobs),
+            ClusterRegionConfig(min_region_inliers=7),
+            cell_size=0.1, grid_shape=(192, 192))
+        assert int(res.num_regions) == 3
+        labeled = np.asarray(res.point_labels) >= 0
+        assert labeled.mean() > 0.95
