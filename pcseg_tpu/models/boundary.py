@@ -19,13 +19,29 @@ natural host seam. The dense growth already happened on device
      surviving ids,
   4. computes discontinuous boundary points (planar_region.h:356-417).
 
-Start-point note: the reference starts tracing from the last BFS inlier
-that lies on a boundary (planar_region.h:198-203); BFS order is not
-materialized on device, so we start from a member adjacent to the *outside*
-component — always on the outer boundary. If a region has interior holes
-the reference may (depending on inlier order) trace a hole ring instead and
-reject the region by area; we always trace the outer ring. Divergence is
-confined to hole-y regions and documented here.
+Conscious divergences (mirrored in the oracle, so both sides of the parity
+harness share them; see CLAUDE.md "Parity policy"):
+
+  * Trace start: the reference starts from the last BFS-order inlier with
+    any non-region neighbor (planar_region.h:198-203) — with interior NaN
+    holes that start can sit on a hole rim, tracing the hole ring instead
+    of the region boundary and rejecting arbitrarily large regions by
+    area; the outcome flips on the exact BFS order (chaotic, observed on
+    the 560x560 room scene: a 216k-point wall region rejected). We start
+    from a member adjacent to the border-connected *outside* component —
+    always the outer ring, set-determined.
+  * Walk rule: the reference's radial sweep backtracks to the *previous
+    boundary pixel* and rescans from there (planar_region.cc:47-65 +
+    planar_region.h:331-345), which loses track of which side the
+    background is on; near single-pixel notches the deterministic walk
+    enters parasitic 3-cycles that never trace the contour (observed:
+    1189-point wall "boundary" of 3 pixels => area 0 => reject), and its
+    stop-after-start-revisit rule additionally terminates prematurely on
+    thin appendage tips. We use textbook Moore-neighbor tracing with
+    background backtracking (scan clockwise from the background pixel the
+    walk entered through) and Jacob's termination criterion (stop when
+    the initial (pixel, entry-background) state recurs) — this provably
+    traces the full outer contour of the 8-connected blob.
 """
 
 from __future__ import annotations
@@ -52,13 +68,19 @@ def neighborhood(use8: bool, rows: int):
     return [(-1, 0, -rows), (0, -1, -1), (1, 0, rows), (0, 1, 1)]
 
 
-def moore_trace(mask: np.ndarray, start_idx: int, use8: bool = True):
-    """Boundary walk of planar_region.h:295-353 on a bool member mask.
+def moore_trace(mask: np.ndarray, start_idx: int, use8: bool = True,
+                b_dir0: int = -1):
+    """Boundary walk on a bool member mask (planar_region.h:295-353 intent;
+    conscious-fix walk rule, see module docstring).
 
-    ``start_idx`` is a col-major linear index of a member with at least one
-    in-bounds non-member neighbor. Returns the ordered boundary index list
-    (with the reference's one-pixel-branch revisits) or None if start is
-    not on a boundary. Uses the native C++ walk when available
+    ``start_idx`` is a col-major linear index of a member. ``b_dir0`` is
+    the entry-background direction index (ring order of
+    :func:`neighborhood`); pass 0 (West) with the canonical raster start
+    from :func:`find_outer_start` — the textbook configuration whose orbit
+    provably closes. -1 = first in-bounds non-member neighbor in table
+    order (legacy behavior for arbitrary starts; may trace a hole ring).
+    Returns the ordered boundary index list or None if start is not on a
+    boundary. Uses the native C++ walk when available
     (pcseg_tpu/native/hostops.cc), falling back to the pure-Python port.
     """
     rows, cols = mask.shape
@@ -71,14 +93,14 @@ def moore_trace(mask: np.ndarray, start_idx: int, use8: bool = True):
             out = np.empty(cap, np.int64)
             n = lib.pcseg_moore_trace(
                 mask_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                rows, cols, int(start_idx),
+                rows, cols, int(start_idx), int(b_dir0),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
             if n > 0:
                 return [int(i) for i in out[:n]]
             if n == 0:
                 return None
             # n < 0: capacity overflow — fall through to the Python walk
-    dirs = neighborhood(use8, rows)
+    dirs = neighborhood(True, rows)  # ring-ordered 8-neighborhood
 
     def at(idx):
         return mask[idx % rows, idx // rows]
@@ -86,48 +108,56 @@ def moore_trace(mask: np.ndarray, start_idx: int, use8: bool = True):
     curr_idx = start_idx
     curr_x, curr_y = start_idx // rows, start_idx % rows
 
-    direction_idx = -1
-    for i, d in enumerate(dirs):
-        x, y = curr_x + d[0], curr_y + d[1]
-        if 0 <= x < cols and 0 <= y < rows and not at(curr_idx + d[2]):
-            direction_idx = i
-            break
-    if direction_idx < 0:
-        return None
+    b_dir = b_dir0
+    if b_dir < 0:
+        for i, d in enumerate(dirs):
+            x, y = curr_x + d[0], curr_y + d[1]
+            if 0 <= x < cols and 0 <= y < rows and not at(curr_idx + d[2]):
+                b_dir = i
+                break
+        if b_dir < 0:
+            return None
 
-    boundary = []
-    found_start = False
+    # REL[m]: direction index of dirs[m-1] - dirs[m] (the new pixel's view
+    # of the last background cell scanned before entering it)
+    rel = []
+    for m in range(8):
+        p = dirs[(m + 7) % 8]
+        q = dirs[m]
+        v = (p[0] - q[0], p[1] - q[1])
+        rel.append(next(i for i, d in enumerate(dirs)
+                        if (d[0], d[1]) == v))
+
+    boundary = [start_idx]
+    # Terminate on ANY (pixel, background-direction) state recurrence: the
+    # walk map is deterministic, so the first repeat closes the contour
+    # cycle (the initial state may be a 1-state tail when the re-entry
+    # background differs from the seeded West anchor).
+    seen = {start_idx * 8 + b_dir}
     while True:
         new_dir = -1
-        for delta in range(1, len(dirs) + 1):
-            ndi = (direction_idx + delta) % len(dirs)
+        for delta in range(1, 9):
+            ndi = (b_dir + delta) % 8
             d = dirs[ndi]
             x, y = curr_x + d[0], curr_y + d[1]
             if 0 <= x < cols and 0 <= y < rows and at(curr_idx + d[2]):
                 new_dir = ndi
                 break
-        assert new_dir >= 0, "isolated pixel cannot be traced"
-        direction_idx = (new_dir + len(dirs) // 2) % len(dirs)
+        if new_dir < 0:
+            return boundary  # isolated pixel
+        b_dir = rel[new_dir]
         curr_idx += dirs[new_dir][2]
         curr_x += dirs[new_dir][0]
         curr_y += dirs[new_dir][1]
-
-        if found_start:
-            if curr_idx == boundary[0]:
-                break
-            found_start = False
+        state = curr_idx * 8 + b_dir
+        if state in seen:
+            return boundary
+        seen.add(state)
         boundary.append(curr_idx)
-        if curr_idx == start_idx:
-            found_start = True
-    return boundary
 
 
-def find_outer_start(mask: np.ndarray) -> Optional[int]:
-    """A member pixel on the outer boundary: adjacent (8-nbhd) to the
-    non-member component connected to the grid border. None if the region
-    has no in-bounds non-member neighbor at all (e.g. covers the grid —
-    the reference then fails every FindInitialPredecessorDirection and
-    rejects the region, planar_region.h:316-318)."""
+def outside_component(mask: np.ndarray) -> np.ndarray:
+    """Non-member cells 4-connected to the grid border ([H, W] bool)."""
     rows, cols = mask.shape
     lib = _native.load_hostops()
     if lib is not None:
@@ -138,54 +168,41 @@ def find_outer_start(mask: np.ndarray) -> Optional[int]:
             mask_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             rows, cols,
             out_cm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        outside = out_cm.T.astype(bool)
-        nonmember = ~mask
-    else:
-        outside = np.zeros_like(mask)
-        # flood fill non-member cells from the border (iterative dilation)
-        nonmember = ~mask
-        frontier = np.zeros_like(mask)
-        frontier[0, :] = nonmember[0, :]
-        frontier[-1, :] = nonmember[-1, :]
-        frontier[:, 0] = nonmember[:, 0]
-        frontier[:, -1] = nonmember[:, -1]
+        return out_cm.T.astype(bool)
+    outside = np.zeros_like(mask)
+    # flood fill non-member cells from the border (iterative dilation)
+    nonmember = ~mask
+    frontier = np.zeros_like(mask)
+    frontier[0, :] = nonmember[0, :]
+    frontier[-1, :] = nonmember[-1, :]
+    frontier[:, 0] = nonmember[:, 0]
+    frontier[:, -1] = nonmember[:, -1]
+    outside |= frontier
+    while frontier.any():
+        grown = np.zeros_like(mask)
+        grown[1:, :] |= outside[:-1, :]
+        grown[:-1, :] |= outside[1:, :]
+        grown[:, 1:] |= outside[:, :-1]
+        grown[:, :-1] |= outside[:, 1:]
+        grown &= nonmember
+        frontier = grown & ~outside
         outside |= frontier
-        while frontier.any():
-            grown = np.zeros_like(mask)
-            grown[1:, :] |= outside[:-1, :]
-            grown[:-1, :] |= outside[1:, :]
-            grown[:, 1:] |= outside[:, :-1]
-            grown[:, :-1] |= outside[:, 1:]
-            grown &= nonmember
-            frontier = grown & ~outside
-            outside |= frontier
+    return outside
 
-    # members 8-adjacent to outside
-    adj = np.zeros_like(mask)
-    for dr in (-1, 0, 1):
-        for dc in (-1, 0, 1):
-            if dr == 0 and dc == 0:
-                continue
-            src = outside[max(0, -dr):outside.shape[0] - max(0, dr),
-                          max(0, -dc):outside.shape[1] - max(0, dc)]
-            adj[max(0, dr):adj.shape[0] - max(0, -dr),
-                max(0, dc):adj.shape[1] - max(0, -dc)] |= src
-    cand = mask & adj
-    if not cand.any():
-        # fall back: any member with an in-bounds non-member 8-neighbor
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dr == 0 and dc == 0:
-                    continue
-                src = nonmember[max(0, -dr):mask.shape[0] - max(0, dr),
-                                max(0, -dc):mask.shape[1] - max(0, dc)]
-                cand[max(0, dr):cand.shape[0] - max(0, -dr),
-                     max(0, dc):cand.shape[1] - max(0, -dc)] |= src
-        cand &= mask
-        if not cand.any():
-            return None
-    rs, cs = np.nonzero(cand)
-    return int(cs[0] * mask.shape[0] + rs[0])
+
+def find_outer_start(mask: np.ndarray) -> Optional[int]:
+    """Canonical outer-contour trace start: the first member in col-major
+    order. Its West neighbor is background (or off-grid) by construction —
+    the textbook Moore-trace start whose orbit with ``b_dir0=0`` closes on
+    the full outer contour. None if the region covers the entire grid (the
+    reference then fails every FindInitialPredecessorDirection and rejects
+    the region, planar_region.h:316-318 — replicated)."""
+    if mask.all():
+        return None
+    if not mask.any():
+        return None
+    flat_cm = mask.T.ravel()  # col-major order
+    return int(np.argmax(flat_cm))
 
 
 def check_min_rows_and_cols(indices, rows, min_cols=3, min_rows=3) -> bool:
@@ -303,7 +320,7 @@ def finalize_planar_regions(points, normals, device_regions,
         area = 0.0
         start = find_outer_start(mask)
         if start is not None:
-            boundary = moore_trace(mask, start, use8=True)
+            boundary = moore_trace(mask, start, use8=True, b_dir0=0)
         if boundary:
             if check_min_rows_and_cols(boundary, rows):
                 bpts = np.array([points[i % rows, i // rows]

@@ -52,7 +52,8 @@ def load_hostops() -> Optional[ctypes.CDLL]:
     lib.pcseg_moore_trace.restype = ctypes.c_int64
     lib.pcseg_moore_trace.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
     lib.pcseg_flood_outside.restype = None
     lib.pcseg_flood_outside.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,

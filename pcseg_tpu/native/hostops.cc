@@ -8,6 +8,13 @@
 //   pcseg_moore_trace: the reference's Moore boundary walk
 //     (planar_region.h:295-353 + planar_region.cc:26-65) over a boolean
 //     member mask, including the one-pixel-branch revisit handling.
+//     Conscious divergence (documented in models/boundary.py + CLAUDE.md):
+//     the reference's sweep backtracks to the previous boundary PIXEL and
+//     loses which side the background is on — near single-pixel notches
+//     the walk enters parasitic 3-cycles, and its stop rule fires early
+//     on thin appendage tips, rejecting arbitrarily large regions by
+//     area. This is textbook Moore-neighbor tracing with background
+//     backtracking + Jacob's termination criterion instead.
 //   pcseg_flood_outside: border-connected non-member flood fill (used to
 //     pick an outer-boundary start pixel).
 //
@@ -36,10 +43,16 @@ extern "C" {
 
 // Trace the boundary of the true-region of `mask` (col-major linear
 // addressing: idx = x*rows + y) starting from `start_idx`.
+// `b_dir0` is the entry-background direction index (ring order); pass 0
+// (West) with the canonical col-major-first start — the textbook
+// configuration whose orbit provably closes. Pass -1 for the first
+// in-bounds non-member neighbor in table order (arbitrary starts; may
+// trace a hole ring or fail to close).
 // Returns the number of boundary indices written to `out` (capacity
-// `out_cap`), 0 if start is not on a boundary, or -1 on overflow.
+// `out_cap`), 0 if start is not on a boundary or the orbit fails to
+// close within the step cap, or -1 on overflow.
 int64_t pcseg_moore_trace(const uint8_t* mask, int32_t rows, int32_t cols,
-                          int64_t start_idx, int64_t* out,
+                          int64_t start_idx, int32_t b_dir0, int64_t* out,
                           int64_t out_cap) {
   Dir dirs[8];
   neighborhood8(rows, dirs);
@@ -49,23 +62,46 @@ int64_t pcseg_moore_trace(const uint8_t* mask, int32_t rows, int32_t cols,
   int32_t curr_x = int32_t(start_idx / rows);
   int32_t curr_y = int32_t(start_idx % rows);
 
-  int direction_idx = -1;
-  for (int i = 0; i < 8; ++i) {
-    int x = curr_x + dirs[i].dx, y = curr_y + dirs[i].dy;
-    if (x >= 0 && x < cols && y >= 0 && y < rows &&
-        !at(curr_idx + dirs[i].didx)) {
-      direction_idx = i;
-      break;
+  int b_dir = b_dir0;
+  if (b_dir < 0) {
+    for (int i = 0; i < 8; ++i) {
+      int x = curr_x + dirs[i].dx, y = curr_y + dirs[i].dy;
+      if (x >= 0 && x < cols && y >= 0 && y < rows &&
+          !at(curr_idx + dirs[i].didx)) {
+        b_dir = i;
+        break;
+      }
+    }
+    if (b_dir < 0) return 0;
+  }
+
+  // REL[m]: direction index of dirs[m-1] - dirs[m] (the new pixel's view
+  // of the last background cell scanned before entering it).
+  int rel[8];
+  for (int m = 0; m < 8; ++m) {
+    int vx = dirs[(m + 7) % 8].dx - dirs[m].dx;
+    int vy = dirs[(m + 7) % 8].dy - dirs[m].dy;
+    for (int i = 0; i < 8; ++i) {
+      if (dirs[i].dx == vx && dirs[i].dy == vy) {
+        rel[m] = i;
+        break;
+      }
     }
   }
-  if (direction_idx < 0) return 0;
 
   int64_t n = 0;
-  bool found_start = false;
+  if (n >= out_cap) return -1;
+  out[n++] = start_idx;
+  // Terminate on ANY (pixel, background-direction) state recurrence: the
+  // walk map is deterministic, so the first repeat closes the contour
+  // cycle (the initial state may be a 1-state tail when the re-entry
+  // background differs from the seeded West anchor).
+  std::vector<uint8_t> seen(int64_t(rows) * cols, 0);
+  seen[start_idx] = uint8_t(1u << b_dir);
   while (true) {
     int new_dir = -1;
     for (int delta = 1; delta <= 8; ++delta) {
-      int ndi = (direction_idx + delta) % 8;
+      int ndi = (b_dir + delta) % 8;
       int x = curr_x + dirs[ndi].dx, y = curr_y + dirs[ndi].dy;
       if (x >= 0 && x < cols && y >= 0 && y < rows &&
           at(curr_idx + dirs[ndi].didx)) {
@@ -73,21 +109,18 @@ int64_t pcseg_moore_trace(const uint8_t* mask, int32_t rows, int32_t cols,
         break;
       }
     }
-    if (new_dir < 0) return 0;  // isolated pixel — caller guards
-    direction_idx = (new_dir + 4) % 8;
+    if (new_dir < 0) return n;  // isolated pixel
+    b_dir = rel[new_dir];
     curr_idx += dirs[new_dir].didx;
     curr_x += dirs[new_dir].dx;
     curr_y += dirs[new_dir].dy;
 
-    if (found_start) {
-      if (n > 0 && curr_idx == out[0]) break;
-      found_start = false;
-    }
+    const uint8_t bit = uint8_t(1u << b_dir);
+    if (seen[curr_idx] & bit) return n;
+    seen[curr_idx] |= bit;
     if (n >= out_cap) return -1;
     out[n++] = curr_idx;
-    if (curr_idx == start_idx) found_start = true;
   }
-  return n;
 }
 
 // Mark all non-member cells 4-connected to the grid border.

@@ -627,10 +627,24 @@ class PlanarRegionOracle:
             return False
         self.plane = self.estimator.get_plane().copy()
         self.centroid = self.estimator.get_centroid().copy()
-        for i in range(len(self.inlier_indices) - 1, -1, -1):
-            if self.find_labeled_region_boundary(
-                    self.inlier_indices[i], in_data, labels, use8=True):
-                break
+        # Conscious divergence (CheckAndFinalize, planar_region.h:198-203,
+        # mirrored in models/boundary.py — see its docstring): the
+        # reference walks inliers in reverse BFS order and traces from the
+        # first with ANY non-region neighbor, which can be an interior
+        # NaN-hole rim or a thin appendage tip — the traced "boundary" is
+        # then a hole ring / parasitic cycle and the region is rejected by
+        # area, chaotically in the exact BFS order. We trace from the
+        # canonical raster start (first member in col-major order, entered
+        # from the West) so the full outer contour is always the one
+        # traced. A region covering the entire grid still has no trace
+        # start and is rejected like the reference (planar_region.h:316-318).
+        mask = labels == self.label_id
+        self.boundary_indices = []
+        self.discontinuous = set()
+        if mask.any() and not mask.all():
+            start = int(np.argmax(mask.T.ravel()))  # col-major first member
+            self.find_labeled_region_boundary(
+                start, in_data, labels, use8=True, b_dir0=0)
         rows, cols = labels.shape[:2]
         if not check_min_rows_and_cols(self.boundary_indices, rows, cols, 3, 3):
             return False
@@ -645,8 +659,12 @@ class PlanarRegionOracle:
         self.area = polygon_area(in_data["points"], self.boundary_indices)
         return self.area >= self.config.min_region_area
 
-    def find_labeled_region_boundary(self, start_idx, in_data, labels, use8):
-        """planar_region.h:295-425."""
+    def find_labeled_region_boundary(self, start_idx, in_data, labels, use8,
+                                     b_dir0=-1):
+        """planar_region.h:295-425 with the conscious-fix walk rule — see
+        models/boundary.py docstring. ``b_dir0``: entry-background
+        direction index; 0 (West) with the canonical col-major-first start,
+        -1 = reference-style first non-region neighbor in table order."""
         points, normals = in_data["points"], in_data["normals"]
         rows, cols = labels.shape[:2]
         directions = create_neighborhood(use8, rows)
@@ -665,36 +683,27 @@ class PlanarRegionOracle:
                     return i
             return -1
 
-        direction_idx = find_initial_predecessor()
-        if direction_idx < 0:
+        b_dir = b_dir0 if b_dir0 >= 0 else find_initial_predecessor()
+        if b_dir < 0:
             return False
 
         min_range_sq = np.float32(self.config.discontinuity_min_range ** 2)
         max_range_sq = np.float32(self.config.discontinuity_max_range ** 2)
         dirs4 = create_neighborhood(False, rows)
-        found_start = False
-        while True:
-            new_dir = -1
-            for delta in range(1, len(directions) + 1):
-                ndi = (direction_idx + delta) % len(directions)
-                d = directions[ndi]
-                x, y = curr_x + d[0], curr_y + d[1]
-                if 0 <= x < cols and 0 <= y < rows \
-                        and at_lin(labels, curr_idx + d[2]) == region_label:
-                    new_dir = ndi
-                    break
-            assert new_dir >= 0
-            direction_idx = (new_dir + len(directions) // 2) % len(directions)
-            curr_idx += directions[new_dir][2]
-            curr_x += directions[new_dir][0]
-            curr_y += directions[new_dir][1]
-
-            if found_start:
-                if curr_idx == self.boundary_indices[0]:
-                    break
-                found_start = False
-            self.boundary_indices.append(curr_idx)
-
+        # Conscious divergence (planar_region.cc:47-65 +
+        # planar_region.h:331-345, mirrored in models/boundary.py — see its
+        # docstring): textbook Moore-neighbor tracing with background
+        # backtracking + Jacob's termination instead of the reference's
+        # previous-pixel sweep (parasitic notch orbits) and
+        # stop-after-start-revisit rule (premature stop on appendage tips).
+        rel = []
+        for m in range(8):
+            p = directions[(m + 7) % 8]
+            q = directions[m]
+            v = (p[0] - q[0], p[1] - q[1])
+            rel.append(next(i for i, d in enumerate(directions)
+                            if (d[0], d[1]) == v))
+        def check_discontinuity(curr_idx):
             p = at_lin(points, curr_idx).astype(np.float32)
             sq = np.float32(np.sum(p * p))
             if min_range_sq < sq < max_range_sq:
@@ -728,8 +737,35 @@ class PlanarRegionOracle:
                                 < self.config.discontinuity_z_ratio:
                             continue
                         self.discontinuous.add(curr_idx)
-            if curr_idx == start_idx:
-                found_start = True
+
+        # Terminate on ANY (pixel, background-direction) state recurrence
+        # (mirrors models/boundary.py — see its docstring).
+        seen = {start_idx * 8 + b_dir}
+        self.boundary_indices.append(start_idx)
+        check_discontinuity(start_idx)
+        while True:
+            new_dir = -1
+            for delta in range(1, len(directions) + 1):
+                ndi = (b_dir + delta) % len(directions)
+                d = directions[ndi]
+                x, y = curr_x + d[0], curr_y + d[1]
+                if 0 <= x < cols and 0 <= y < rows \
+                        and at_lin(labels, curr_idx + d[2]) == region_label:
+                    new_dir = ndi
+                    break
+            if new_dir < 0:
+                break  # isolated pixel
+            b_dir = rel[new_dir]
+            curr_idx += directions[new_dir][2]
+            curr_x += directions[new_dir][0]
+            curr_y += directions[new_dir][1]
+
+            state = curr_idx * 8 + b_dir
+            if state in seen:
+                break
+            seen.add(state)
+            self.boundary_indices.append(curr_idx)
+            check_discontinuity(curr_idx)
         return True
 
     def snapshot(self) -> PlanarRegionSnapshot:
