@@ -32,20 +32,12 @@ FLT_MIN = 1.1754944e-38
 # Symmetric 3x3 eigendecomposition (closed form, batched)
 # ---------------------------------------------------------------------------
 
-def _roots_of_depressed_characteristic(m):
-    """Eigenvalues (ascending) of symmetric 3x3 batch via trigonometric form.
-
-    ``m``: [..., 3, 3] symmetric. Returns [..., 3] ascending.
+def _roots_of_depressed_characteristic_c(m00, m01, m02, m11, m12, m22):
+    """Eigenvalues (ascending, as a 3-tuple of [...] arrays) of a symmetric
+    3x3 batch given as scalar component grids — the TPU-friendly layout
+    (every array tiles as a plain [...] grid; no [..., 3, 3] trailing dims).
     Mirrors the structure of Eigen's ``computeRoots`` on the already
-    shifted/scaled matrix.
-    """
-    m00 = m[..., 0, 0]
-    m11 = m[..., 1, 1]
-    m22 = m[..., 2, 2]
-    m01 = m[..., 0, 1]
-    m02 = m[..., 0, 2]
-    m12 = m[..., 1, 2]
-
+    shifted/scaled matrix."""
     c0 = (m00 * m11 * m22
           + 2.0 * m01 * m02 * m12
           - m00 * m12 * m12
@@ -65,16 +57,136 @@ def _roots_of_depressed_characteristic(m):
     theta = jnp.arctan2(jnp.sqrt(q), half_b) * (1.0 / 3.0)
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
-    sqrt3 = jnp.asarray(1.7320508075688772, m.dtype)
+    sqrt3 = jnp.asarray(1.7320508075688772, m00.dtype)
 
     e2 = c2_over_3 + 2.0 * rho * cos_t
     e0 = c2_over_3 - rho * (cos_t + sqrt3 * sin_t)
     e1 = c2_over_3 - rho * (cos_t - sqrt3 * sin_t)
-    return jnp.stack([e0, e1, e2], axis=-1)
+    return e0, e1, e2
+
+
+def eigh3x3_smallest_c(c00, c01, c02, c11, c12, c22, prev_normal=None):
+    """Component-grid form of :func:`eigh3x3_smallest` — the production
+    path. Every input/intermediate is a plain [...] array (perfect TPU
+    tiling, no gathers, pure fusable elementwise ops); the f32 arithmetic
+    and op order are identical to the matrix form, so the computeDirect
+    knife-edge parity (plane_estimator.cc:202-207) carries over.
+
+    Returns ((e0, e1, e2) ascending, vec [..., 3]).
+    """
+    dtype = c00.dtype
+    eps = jnp.asarray(1.1920929e-07 if dtype == jnp.float32 else 2.22e-16,
+                      dtype)
+    trace = c00 + c11 + c22
+    shift = trace * (1.0 / 3.0)
+    s00 = c00 - shift
+    s11 = c11 - shift
+    s22 = c22 - shift
+    scale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(s00), jnp.abs(s11)),
+                    jnp.maximum(jnp.abs(s22), jnp.abs(c01))),
+        jnp.maximum(jnp.abs(c02), jnp.abs(c12)))
+    safe_scale = jnp.where(scale > 0, scale, 1.0)
+    # true division (not reciprocal-multiply): bit-matches the matrix form
+    # and the oracle's f32 knife edges
+    a00, a11, a22 = s00 / safe_scale, s11 / safe_scale, s22 / safe_scale
+    a01, a02, a12 = c01 / safe_scale, c02 / safe_scale, c12 / safe_scale
+
+    ev0, ev1, ev2 = _roots_of_depressed_characteristic_c(
+        a00, a01, a02, a11, a12, a22)
+    evals = jnp.stack([ev0 * safe_scale + shift,
+                       ev1 * safe_scale + shift,
+                       ev2 * safe_scale + shift], axis=-1)
+
+    def extract_kernel(lam):
+        """Null-space direction of (scaled - lam*I), Eigen's extract_kernel:
+        representative = column with max |diagonal|, crossed with the other
+        two columns, larger result wins. Returns (vec, representative) as
+        component triples."""
+        d0 = a00 - lam
+        d1 = a11 - lam
+        d2 = a22 - lam
+        # columns of the symmetric matrix
+        col0 = (d0, a01, a02)
+        col1 = (a01, d1, a12)
+        col2 = (a02, a12, d2)
+
+        ad0, ad1, ad2 = jnp.abs(d0), jnp.abs(d1), jnp.abs(d2)
+        # argmax over (ad0, ad1, ad2) with first-max-wins (argmax semantics)
+        pick0 = (ad0 >= ad1) & (ad0 >= ad2)
+        pick1 = (~pick0) & (ad1 >= ad2)
+
+        def sel3(x0, x1, x2):
+            return jnp.where(pick0, x0, jnp.where(pick1, x1, x2))
+
+        # representative column c_i0 and the other two in (i0+1, i0+2) order
+        ci0 = tuple(sel3(col0[i], col1[i], col2[i]) for i in range(3))
+        cn1 = tuple(sel3(col1[i], col2[i], col0[i]) for i in range(3))
+        cn2 = tuple(sel3(col2[i], col0[i], col1[i]) for i in range(3))
+
+        def cross(u, v):
+            return (u[1] * v[2] - u[2] * v[1],
+                    u[2] * v[0] - u[0] * v[2],
+                    u[0] * v[1] - u[1] * v[0])
+
+        cr0 = cross(ci0, cn1)
+        cr1 = cross(ci0, cn2)
+        n0 = cr0[0] * cr0[0] + cr0[1] * cr0[1] + cr0[2] * cr0[2]
+        n1 = cr1[0] * cr1[0] + cr1[1] * cr1[1] + cr1[2] * cr1[2]
+        use0 = n0 > n1
+        norm2 = jnp.maximum(jnp.maximum(n0, n1), FLT_MIN)
+        r = jax.lax.rsqrt(norm2)
+        best = tuple(jnp.where(use0, cr0[i], cr1[i]) * r for i in range(3))
+        return best, ci0
+
+    # Mirror Eigen computeDirect's eigenvector ordering: extract the most
+    # separated extreme eigenvalue's vector first (well conditioned), then
+    # the other extreme, falling back to the orthogonal complement of the
+    # representative column when the remaining pair is numerically equal.
+    dd0 = ev2 - ev1
+    dd1 = ev1 - ev0
+    k_is_two = dd0 > dd1        # lambda_0 ~ lambda_1: top is most distinct
+    min_sep = jnp.minimum(dd0, dd1)
+    max_sep = jnp.maximum(dd0, dd1)
+
+    v0_direct, _ = extract_kernel(ev0)
+    v2, repr2 = extract_kernel(ev2)
+
+    # near-degenerate pair: orthogonalize the representative against v2
+    dot_r = v2[0] * repr2[0] + v2[1] * repr2[1] + v2[2] * repr2[2]
+    ortho = tuple(repr2[i] - dot_r * v2[i] for i in range(3))
+    ortho_n2 = jnp.maximum(
+        ortho[0] * ortho[0] + ortho[1] * ortho[1] + ortho[2] * ortho[2],
+        FLT_MIN)
+    r_o = jax.lax.rsqrt(ortho_n2)
+
+    pair_equal = min_sep <= 2.0 * eps * max_sep
+    degenerate = (ev2 - ev0) <= eps
+    one = jnp.ones_like(ev0)
+    zero = jnp.zeros_like(ev0)
+    fallback = (one, zero, zero)
+    comp = []
+    for i in range(3):
+        v0_ortho_i = ortho[i] * r_o
+        v0_from_k2_i = jnp.where(pair_equal, v0_ortho_i, v0_direct[i])
+        vec_i = jnp.where(k_is_two, v0_from_k2_i, v0_direct[i])
+        comp.append(jnp.where(degenerate, fallback[i], vec_i))
+
+    if prev_normal is not None:
+        dot = (comp[0] * prev_normal[..., 0]
+               + comp[1] * prev_normal[..., 1]
+               + comp[2] * prev_normal[..., 2])
+        flip = dot < 0.0
+        comp = [jnp.where(flip, -c, c) for c in comp]
+    vec = jnp.stack(comp, axis=-1)
+    return evals, vec
 
 
 def eigh3x3_smallest(cov, prev_normal=None):
     """Smallest-eigenvalue eigenvector of a batch of symmetric 3x3 matrices.
+
+    Matrix-layout wrapper over :func:`eigh3x3_smallest_c` (same f32
+    semantics; see there).
 
     Args:
       cov: [..., 3, 3] symmetric (covariance) matrices.
@@ -88,77 +200,9 @@ def eigh3x3_smallest(cov, prev_normal=None):
       (eigenvalues [..., 3] ascending, eigenvector [..., 3] unit-norm for the
       smallest eigenvalue).
     """
-    dtype = cov.dtype
-    eps = jnp.asarray(1.1920929e-07 if dtype == jnp.float32 else 2.22e-16,
-                      dtype)
-    trace = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
-    shift = trace * (1.0 / 3.0)
-    eye = jnp.eye(3, dtype=dtype)
-    scaled = cov - shift[..., None, None] * eye
-    scale = jnp.max(jnp.abs(scaled), axis=(-2, -1))
-    safe_scale = jnp.where(scale > 0, scale, 1.0)
-    scaled = scaled / safe_scale[..., None, None]
-
-    evals_scaled = _roots_of_depressed_characteristic(scaled)
-    evals = evals_scaled * safe_scale[..., None] + shift[..., None]
-
-    def extract_kernel(lam):
-        """Null-space direction of (scaled - lam*I), Eigen's extract_kernel:
-        representative = column with max |diagonal|, crossed with the other
-        two columns, larger result wins. Returns (vec, representative)."""
-        a = scaled - lam[..., None, None] * eye
-        diag = jnp.abs(jnp.stack(
-            [a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]], axis=-1))
-        i0 = jnp.argmax(diag, axis=-1)
-        cols = jnp.swapaxes(a, -1, -2)  # [..., 3(col), 3(row)]
-        c_i0 = jnp.take_along_axis(
-            cols, i0[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
-        c_n1 = jnp.take_along_axis(
-            cols, ((i0 + 1) % 3)[..., None, None].astype(jnp.int32),
-            axis=-2)[..., 0, :]
-        c_n2 = jnp.take_along_axis(
-            cols, ((i0 + 2) % 3)[..., None, None].astype(jnp.int32),
-            axis=-2)[..., 0, :]
-        c0 = jnp.cross(c_i0, c_n1)
-        c1 = jnp.cross(c_i0, c_n2)
-        n0 = jnp.sum(c0 * c0, axis=-1)
-        n1 = jnp.sum(c1 * c1, axis=-1)
-        best = jnp.where((n0 > n1)[..., None], c0, c1)
-        norm2 = jnp.maximum(jnp.maximum(n0, n1), FLT_MIN)
-        return best * jax.lax.rsqrt(norm2)[..., None], c_i0
-
-    # Mirror Eigen computeDirect's eigenvector ordering: extract the most
-    # separated extreme eigenvalue's vector first (well conditioned), then
-    # the other extreme, falling back to the orthogonal complement of the
-    # representative column when the remaining pair is numerically equal.
-    d0 = evals_scaled[..., 2] - evals_scaled[..., 1]
-    d1 = evals_scaled[..., 1] - evals_scaled[..., 0]
-    k_is_two = d0 > d1          # lambda_0 ~ lambda_1: top is most distinct
-    min_sep = jnp.minimum(d0, d1)
-    max_sep = jnp.maximum(d0, d1)
-
-    v0_direct, _ = extract_kernel(evals_scaled[..., 0])
-    v2, repr2 = extract_kernel(evals_scaled[..., 2])
-
-    # near-degenerate pair: orthogonalize the representative against v2
-    ortho = repr2 - jnp.sum(v2 * repr2, axis=-1, keepdims=True) * v2
-    ortho_n2 = jnp.maximum(jnp.sum(ortho * ortho, axis=-1, keepdims=True),
-                           FLT_MIN)
-    v0_ortho = ortho * jax.lax.rsqrt(ortho_n2)
-
-    pair_equal = min_sep <= 2.0 * eps * max_sep
-    v0_from_k2 = jnp.where(pair_equal[..., None], v0_ortho, v0_direct)
-    vec = jnp.where(k_is_two[..., None], v0_from_k2, v0_direct)
-
-    # All three eigenvalues numerically identical: identity basis (+x).
-    degenerate = (evals_scaled[..., 2] - evals_scaled[..., 0]) <= eps
-    fallback = jnp.zeros_like(vec).at[..., 0].set(1.0)
-    vec = jnp.where(degenerate[..., None], fallback, vec)
-
-    if prev_normal is not None:
-        flip = jnp.sum(vec * prev_normal, axis=-1, keepdims=True) < 0.0
-        vec = jnp.where(flip, -vec, vec)
-    return evals, vec
+    return eigh3x3_smallest_c(
+        cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+        cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2], prev_normal)
 
 
 # ---------------------------------------------------------------------------

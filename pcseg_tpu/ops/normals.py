@@ -15,8 +15,14 @@ data with max_neighbor_distance 1 m it terminates within a few pixels; K=16
 is generous). The per-pixel 9-point plane fit is a batched closed-form
 eigensolve over all H*W pixels at once.
 
-The whole pass is elementwise + slice arithmetic: XLA fuses it into a few
-VPU kernels; there is no gather except the 4 diagonal lookups.
+Performance notes (measured on TPU v5e, 480x640):
+  * moments accumulate INTO ten scalar [H, W] grids as each support is
+    found — no [H, W, S, 3] support stack is ever materialized;
+  * shifts are pad+slice (the cheapest shift HLOs);
+  * the 4 diagonal supports (data-dependent 2-D indices, a genuine gather)
+    are fetched with ONE combined gather;
+  * the per-pixel eigensolve runs in component-grid form
+    (ops/geom.eigh3x3_smallest_c) — no [H, W, 3, 3] layouts, no gathers.
 """
 
 from __future__ import annotations
@@ -32,26 +38,79 @@ from pcseg_tpu.ops import geom, plane_fit
 _BIG = jnp.inf
 
 
+def _shift(arr, dr, dc, fill):
+    """Shift [H, W, ...] by (dr, dc), filling vacated cells with ``fill``.
+
+    shifted[r, c] = arr[r - dr, c - dc] where in bounds. One pad + one
+    slice per axis — the cheapest shift HLOs on TPU (no scatter).
+    """
+    h, w = arr.shape[0], arr.shape[1]
+    if abs(dr) >= h or abs(dc) >= w:
+        return jnp.full_like(arr, fill)
+    pad = [(0, 0)] * arr.ndim
+    idx = [slice(None)] * arr.ndim
+    if dr > 0:
+        pad[0] = (dr, 0)
+        idx[0] = slice(0, h)
+    elif dr < 0:
+        pad[0] = (0, -dr)
+        idx[0] = slice(-dr, h - dr)
+    if dc > 0:
+        pad[1] = (dc, 0)
+        idx[1] = slice(0, w)
+    elif dc < 0:
+        pad[1] = (0, -dc)
+        idx[1] = slice(-dc, w - dc)
+    fill_v = jnp.asarray(fill, arr.dtype)
+    padded = jnp.pad(arr, pad, constant_values=fill_v)
+    return padded[tuple(idx)]
+
+
+class _Moments10(NamedTuple):
+    """Ten scalar moment accumulator grids (xx, xy, xz, yy, yz, zz, x, y,
+    z, w) — the estimator state in TPU-native layout."""
+    xx: jnp.ndarray
+    xy: jnp.ndarray
+    xz: jnp.ndarray
+    yy: jnp.ndarray
+    yz: jnp.ndarray
+    zz: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    w: jnp.ndarray
+
+    def add(self, p, ok):
+        """Accumulate support point p [H, W, 3] where ok [H, W] (masked)."""
+        okf = ok.astype(p.dtype)
+        px = jnp.where(ok, p[..., 0], 0.0)
+        py = jnp.where(ok, p[..., 1], 0.0)
+        pz = jnp.where(ok, p[..., 2], 0.0)
+        return _Moments10(
+            xx=self.xx + px * px, xy=self.xy + px * py,
+            xz=self.xz + px * pz, yy=self.yy + py * py,
+            yz=self.yz + py * pz, zz=self.zz + pz * pz,
+            x=self.x + px, y=self.y + py, z=self.z + pz,
+            w=self.w + okf)
+
+    @staticmethod
+    def zeros(shape, dtype):
+        z = jnp.zeros(shape, dtype)
+        return _Moments10(z, z, z, z, z, z, z, z, z, z)
+
+    def to_plane_moments(self, hint):
+        return plane_fit.PlaneMoments(
+            s2=jnp.stack([self.xx, self.xy, self.xz, self.yy, self.yz,
+                          self.zz], axis=-1),
+            s1=jnp.stack([self.x, self.y, self.z], axis=-1),
+            w=self.w,
+            normal_hint=hint)
+
+
 class _DirectionalScan(NamedTuple):
     found: jnp.ndarray   # [H, W] bool — a neighbor was accepted
     point: jnp.ndarray   # [H, W, 3] accepted neighbor coordinates (or 0)
     coord: jnp.ndarray   # [H, W] int32 accepted row (vertical) / col (horiz.)
-
-
-def _shift(arr, dr, dc, fill):
-    """Shift [H, W, ...] by (dr, dc), filling vacated cells with ``fill``.
-
-    shifted[r, c] = arr[r - dr, c - dc] where in bounds.
-    """
-    h, w = arr.shape[0], arr.shape[1]
-    out = jnp.full_like(arr, fill)
-    if abs(dr) >= h or abs(dc) >= w:
-        return out
-    rs_src = slice(max(0, -dr), h - max(0, dr))
-    cs_src = slice(max(0, -dc), w - max(0, dc))
-    rs_dst = slice(max(0, dr), h - max(0, -dr))
-    cs_dst = slice(max(0, dc), w - max(0, -dc))
-    return out.at[rs_dst, cs_dst].set(arr[rs_src, cs_src])
 
 
 def _scan_direction(points, center, dr, dc, k_max, min_d2, max_d2,
@@ -77,14 +136,6 @@ def _scan_direction(points, center, dr, dc, k_max, min_d2, max_d2,
         coord = (rows_idx + dr * k) if dr != 0 else (cols_idx + dc * k)
         acc_coord = jnp.where(take, coord, acc_coord)
     return _DirectionalScan(found, acc_point, acc_coord)
-
-
-def _gather_grid(points, r_idx, c_idx):
-    """points[r_idx, c_idx] for [H, W] index grids -> [H, W, 3]."""
-    w = points.shape[1]
-    flat = points.reshape(-1, points.shape[-1])
-    lin = r_idx * w + c_idx
-    return flat[lin.reshape(-1)].reshape(points.shape)
 
 
 class NormalSupport(NamedTuple):
@@ -123,47 +174,54 @@ def find_normal_support(points: jnp.ndarray,
     right = _scan_direction(points, center, 0, 1, k_max, min_d2, max_d2,
                             rows_idx, cols_idx)
 
-    # min/max row/col defaults: clamped +-1 like the reference init
-    # (algorithms.h:129-132); replaced by the accepted walk coordinate.
-    min_row = jnp.where(up.found, up.coord, jnp.maximum(rows_idx - 1, 0))
-    max_row = jnp.where(down.found, down.coord, jnp.minimum(rows_idx + 1, h - 1))
-    min_col = jnp.where(left.found, left.coord, jnp.maximum(cols_idx - 1, 0))
-    max_col = jnp.where(right.found, right.coord, jnp.minimum(cols_idx + 1, w - 1))
-
-    support_points = [center, up.point, down.point, left.point, right.point]
-    support_weights = [center_valid, up.found, down.found, left.found,
-                       right.found]
+    acc = _Moments10.zeros((h, w), dtype)
+    acc = acc.add(center, center_valid)
+    acc = acc.add(up.point, up.found)
+    acc = acc.add(down.point, down.found)
+    acc = acc.add(left.point, left.found)
+    acc = acc.add(right.point, right.found)
+    count = (center_valid.astype(jnp.int32) + up.found + down.found
+             + left.found + right.found)
 
     if params.include_diagonal_neighbors:
+        # min/max row/col defaults: clamped +-1 like the reference init
+        # (algorithms.h:129-132); replaced by the accepted walk coordinate.
+        min_row = jnp.where(up.found, up.coord, jnp.maximum(rows_idx - 1, 0))
+        max_row = jnp.where(down.found, down.coord,
+                            jnp.minimum(rows_idx + 1, h - 1))
+        min_col = jnp.where(left.found, left.coord,
+                            jnp.maximum(cols_idx - 1, 0))
+        max_col = jnp.where(right.found, right.coord,
+                            jnp.minimum(cols_idx + 1, w - 1))
+
         # Diagonal gates: only if the respective side actually differs from
         # the center coordinate (algorithms.h:207,209,220,232-245).
         has_up = min_row != rows_idx
         has_down = max_row != rows_idx
         has_left = min_col != cols_idx
         has_right = max_col != cols_idx
-        for gate, (ri, ci) in (
-            (has_left & has_up, (min_row, min_col)),      # upper-left
-            (has_left & has_down, (max_row, min_col)),    # lower-left
-            (has_right & has_up, (min_row, max_col)),     # upper-right
-            (has_right & has_down, (max_row, max_col)),   # lower-right
-        ):
-            p = _gather_grid(points, ri, ci)
+        diag_sel = [
+            (has_left & has_up, min_row, min_col),      # upper-left
+            (has_left & has_down, max_row, min_col),    # lower-left
+            (has_right & has_up, min_row, max_col),     # upper-right
+            (has_right & has_down, max_row, max_col),   # lower-right
+        ]
+        # One combined gather for all four diagonal supports.
+        lin = jnp.stack([r * w + c for _, r, c in diag_sel])  # [4, H, W]
+        flat = points.reshape(-1, 3)
+        diag_pts = flat[lin.reshape(-1)].reshape(4, h, w, 3)
+        for i, (gate, _, _) in enumerate(diag_sel):
+            p = diag_pts[i]
             d2 = jnp.sum(jnp.square(p - center), axis=-1)
             ok = gate & (d2 >= min_d2) & (d2 <= max_d2)
-            support_points.append(jnp.where(ok[..., None], p, 0.0))
-            support_weights.append(ok)
+            acc = acc.add(p, ok)
+            count = count + ok
 
-    pts = jnp.stack(support_points, axis=-2)             # [H, W, S, 3]
-    wts = jnp.stack(support_weights, axis=-1).astype(dtype)  # [H, W, S]
-    pts = jnp.where(wts[..., None] > 0, pts, 0.0)        # mask NaNs out
-
-    count = jnp.sum(wts, axis=-1).astype(jnp.int32)
     # The reference returns 0 supports for a non-finite center
     # (algorithms.h:125-127).
     count = jnp.where(center_valid, count, 0)
-
-    moments = plane_fit.add_points(
-        plane_fit.empty((h, w), dtype), pts, wts)
+    moments = acc.to_plane_moments(
+        jnp.zeros((h, w, 3), dtype).at[..., 0].set(1.0))
     return NormalSupport(count=count, moments=moments,
                          center_valid=center_valid)
 

@@ -99,9 +99,10 @@ def set_normal_orientation(m: PlaneMoments, hint) -> PlaneMoments:
     return m._replace(normal_hint=hint)
 
 
-def _covariance(m: PlaneMoments):
-    """Mean-centered 3x3 covariance and centroid from the accumulators
-    (mirrors plane_estimator.cc:187-199)."""
+def _covariance_c(m: PlaneMoments):
+    """Mean-centered covariance components and centroid from the
+    accumulators (mirrors plane_estimator.cc:187-199). Component-grid form
+    — the TPU-friendly layout used by the production solve path."""
     w_safe = jnp.where(m.w > 0, m.w, 1.0)
     centroid = m.s1 / w_safe[..., None]
     accu = m.s2 / w_safe[..., None]
@@ -112,6 +113,13 @@ def _covariance(m: PlaneMoments):
     c11 = accu[..., 3] - cy * cy
     c12 = accu[..., 4] - cy * cz
     c22 = accu[..., 5] - cz * cz
+    return (c00, c01, c02, c11, c12, c22), centroid
+
+
+def _covariance(m: PlaneMoments):
+    """Matrix-layout wrapper of :func:`_covariance_c` (transform() needs
+    the full 3x3 for the rotation conjugation)."""
+    (c00, c01, c02, c11, c12, c22), centroid = _covariance_c(m)
     row0 = jnp.stack([c00, c01, c02], axis=-1)
     row1 = jnp.stack([c01, c11, c12], axis=-1)
     row2 = jnp.stack([c02, c12, c22], axis=-1)
@@ -135,15 +143,16 @@ def solve(m: PlaneMoments) -> PlaneSolution:
     centroid with the (sticky) hint normal — mirroring the reference's
     invalid branch (plane_estimator.cc:224-228).
     """
-    cov, centroid = _covariance(m)
-    evals, vec = geom.eigh3x3_smallest(cov, prev_normal=m.normal_hint)
+    (c00, c01, c02, c11, c12, c22), centroid = _covariance_c(m)
+    evals, vec = geom.eigh3x3_smallest_c(
+        c00, c01, c02, c11, c12, c22, prev_normal=m.normal_hint)
 
     valid = (m.w > 0) & (evals[..., 1] > geom.FLT_MIN)
 
     normal = jnp.where(valid[..., None], vec, m.normal_hint)
     plane = geom.plane_from_normal_point(normal, centroid)
 
-    trace = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
+    trace = c00 + c11 + c22
     lam0 = evals[..., 0]
     curv_ok = (trace > lam0) & (lam0 > geom.FLT_MIN) & valid
     curvature = jnp.where(curv_ok, jnp.abs(lam0 / jnp.where(trace != 0, trace, 1.0)), 0.0)

@@ -97,3 +97,93 @@ def proto_to_cloud(proto: pcseg_pb2.MultichannelCloudProto
         jnp.asarray([p.translation.x, p.translation.y, p.translation.z],
                     jnp.float32))
     return cloud_lib.PointCloud(pose=pose, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Config schemas (region_segmentation_config.proto:22-72,
+# plane_classification_config.proto:23-58). Wire-compatible field numbers;
+# unset fields take the reference's in-code defaults exactly like
+# ApplyDefaultConfigValues (planar_region.h:93-121, cluster_region.h:53-63).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from pcseg_tpu.models import config as _config
+
+_PLANAR_FIELDS = (
+    "max_distance_for_seed_point",
+    "max_normal_difference_angle_for_seed_point",
+    "max_plane_distance", "min_region_area", "min_region_inliers",
+    "plane_model_reestimation_period", "discontinuity_min_range",
+    "discontinuity_max_range", "discontinuity_normal_angle_diff",
+    "discontinuity_z_diff", "discontinuity_z_ratio")
+
+_CLUSTER_FIELDS = ("min_region_inliers", "squared_distance_threshold",
+                   "half_search_window")
+
+
+def planar_config_to_proto(cfg, proto=None):
+    if proto is None:
+        proto = pcseg_pb2.PlanarRegionConfigProto()
+    for f in _PLANAR_FIELDS:
+        setattr(proto, f, getattr(cfg, f))
+    return proto
+
+
+def planar_config_from_proto(proto) -> "_config.PlanarRegionConfig":
+    """Unset fields keep the defaults (ApplyDefaultConfigValues,
+    planar_region.h:93-121 — the dataclass defaults mirror them)."""
+    kwargs = {f: getattr(proto, f) for f in _PLANAR_FIELDS
+              if proto.HasField(f)}
+    return _config.PlanarRegionConfig(**kwargs)
+
+
+def cluster_config_to_proto(cfg, proto=None):
+    if proto is None:
+        proto = pcseg_pb2.ClusterRegionConfigProto()
+    for f in _CLUSTER_FIELDS:
+        setattr(proto, f, getattr(cfg, f))
+    proto.cluster_method = cfg.cluster_method.value
+    return proto
+
+
+def cluster_config_from_proto(proto) -> "_config.ClusterRegionConfig":
+    """Defaults of cluster_region.h:53-63 on unset fields."""
+    kwargs = {f: getattr(proto, f) for f in _CLUSTER_FIELDS
+              if proto.HasField(f)}
+    if proto.HasField("cluster_method"):
+        kwargs["cluster_method"] = _config.ClusterMethod(proto.cluster_method)
+    return _config.ClusterRegionConfig(**kwargs)
+
+
+_HORIZ_FIELDS = ("max_up_direction_delta_angle_degrees", "floor_offset",
+                 "max_floor_offset_deviation", "min_area", "max_area")
+_WALL_FIELDS = ("max_horizontal_delta_angle_degrees", "min_height")
+
+
+def classification_config_to_proto(cfg, proto=None):
+    if proto is None:
+        proto = pcseg_pb2.PlaneClassificationConfigProto()
+    for f in _HORIZ_FIELDS:
+        setattr(proto.floor_params, f, getattr(cfg.floor_params, f))
+        setattr(proto.coffee_table_params, f,
+                getattr(cfg.coffee_table_params, f))
+    for f in _WALL_FIELDS:
+        setattr(proto.wall_params, f, getattr(cfg.wall_params, f))
+    return proto
+
+
+def classification_config_from_proto(proto):
+    """plane_classification_config.proto has no in-code defaults (proto2
+    optionals; zeros reject everything) — unset fields stay zero like the
+    reference's direct field reads (plane_classification.cc:34-93)."""
+    def sub(msg, fields, cls):
+        return cls(**{f: getattr(msg, f) for f in fields
+                      if msg.HasField(f)})
+    return _config.PlaneClassificationConfig(
+        floor_params=sub(proto.floor_params, _HORIZ_FIELDS,
+                         _config.ClassifyHorizontalPlaneParams),
+        coffee_table_params=sub(proto.coffee_table_params, _HORIZ_FIELDS,
+                                _config.ClassifyHorizontalPlaneParams),
+        wall_params=sub(proto.wall_params, _WALL_FIELDS,
+                        _config.ClassifyWallParams))

@@ -85,3 +85,72 @@ class TestProtoRoundTrip:
                                    np.asarray(c.points)[:4, :8])
         assert r.points.shape == (4, 10, 3)
         np.testing.assert_allclose(np.asarray(r.points)[:, 8:], 0.0)
+
+
+class TestConfigProtos:
+    """Wire round trip of the reference's config schemas
+    (region_segmentation_config.proto:22-72,
+    plane_classification_config.proto:23-58)."""
+
+    def test_planar_roundtrip_and_defaults(self):
+        import dataclasses
+        from pcseg_tpu.models.config import PlanarRegionConfig
+        from pcseg_tpu.protos import pcseg_pb2
+
+        cfg = dataclasses.replace(PlanarRegionConfig(),
+                                  max_plane_distance=0.08,
+                                  min_region_inliers=9)
+        rt = io.planar_config_from_proto(io.planar_config_to_proto(cfg))
+        for f in io._PLANAR_FIELDS:
+            # proto float fields are f32 on the wire
+            assert np.float32(getattr(rt, f)) == np.float32(
+                getattr(cfg, f)), f
+
+        # ApplyDefaultConfigValues: unset fields -> reference defaults
+        empty = io.planar_config_from_proto(pcseg_pb2.PlanarRegionConfigProto())
+        assert empty == PlanarRegionConfig()
+
+        # partial: one set field, rest defaults (planar_region.h:93-121)
+        p = pcseg_pb2.PlanarRegionConfigProto()
+        p.max_plane_distance = 0.2
+        got = io.planar_config_from_proto(p)
+        assert got.max_plane_distance == np.float32(0.2)
+        assert got.min_region_inliers == 5
+        assert got.plane_model_reestimation_period == 30
+
+    def test_cluster_roundtrip_and_method(self):
+        from pcseg_tpu.models.config import (ClusterMethod,
+                                             ClusterRegionConfig)
+        from pcseg_tpu.protos import pcseg_pb2
+        import dataclasses
+        cfg = dataclasses.replace(ClusterRegionConfig(),
+                                  cluster_method=ClusterMethod.MEAN_SHIFT,
+                                  half_search_window=2)
+        rt = io.cluster_config_from_proto(io.cluster_config_to_proto(cfg))
+        assert rt.cluster_method is ClusterMethod.MEAN_SHIFT
+        assert rt.half_search_window == 2
+        empty = io.cluster_config_from_proto(
+            pcseg_pb2.ClusterRegionConfigProto())
+        assert empty == ClusterRegionConfig()
+        assert empty.min_region_inliers == 7
+        assert empty.squared_distance_threshold == 1.0
+
+    def test_classification_roundtrip(self):
+        from pcseg_tpu.models.config import (
+            ClassifyHorizontalPlaneParams, ClassifyWallParams,
+            PlaneClassificationConfig)
+        cfg = PlaneClassificationConfig(
+            floor_params=ClassifyHorizontalPlaneParams(
+                max_up_direction_delta_angle_degrees=10.0,
+                floor_offset=-1.0, max_floor_offset_deviation=0.1,
+                min_area=0.3, max_area=100.0),
+            wall_params=ClassifyWallParams(
+                max_horizontal_delta_angle_degrees=10.0, min_height=0.5))
+        rt = io.classification_config_from_proto(
+            io.classification_config_to_proto(cfg))
+        # proto float fields are f32 on the wire
+        rt2 = io.classification_config_from_proto(
+            io.classification_config_to_proto(rt))
+        assert rt2 == rt
+        assert np.float32(rt.floor_params.min_area) == np.float32(0.3)
+        assert rt.wall_params.min_height == 0.5
