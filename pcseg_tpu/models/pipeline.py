@@ -82,6 +82,7 @@ class Segmenter:
     def __init__(self, config: SegmenterConfig = SegmenterConfig()):
         self.config = config
         self._planar_stage = jax.jit(self._planar_stage_impl)
+        self._planar_stage_temporal = jax.jit(self._planar_stage_temporal_impl)
         self._cluster_stage = jax.jit(self._cluster_stage_impl)
         self._forward = jax.jit(self._forward_impl)
 
@@ -100,21 +101,49 @@ class Segmenter:
         return seeds_op.average_normal_seed_list(
             mask, cfg.plane_support_seeds.max_seeds)
 
-    def _planar_stage_impl(self, points, sensor_origin):
+    def _grow(self, points, nrm, labels0, seed_idx, seed_valid):
+        cfg = self.config
+        if cfg.planar.growth_mode == "batched":
+            from pcseg_tpu.models import planar_batched
+            return planar_batched.grow_planar_regions_batched(
+                points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
+                initial_id_offset=0)
+        return planar.grow_planar_regions(
+            points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
+            initial_id_offset=0, max_attempts=cfg.max_region_attempts)
+
+    def _planar_stage_impl(self, points, sensor_origin, labels0=None):
         cfg = self.config
         nrm = normals_op.compute_normals_organized(
             points, sensor_origin, cfg.normals)
         seed_idx, seed_valid = self._rank_seeds(points, nrm)
-        labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
-        if cfg.planar.growth_mode == "batched":
-            from pcseg_tpu.models import planar_batched
-            dev = planar_batched.grow_planar_regions_batched(
-                points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
-                initial_id_offset=0)
-        else:
-            dev = planar.grow_planar_regions(
-                points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
-                initial_id_offset=0, max_attempts=cfg.max_region_attempts)
+        if labels0 is None:
+            labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
+        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid)
+        return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
+
+    def _planar_stage_temporal_impl(self, points, sensor_origin, labels0,
+                                    prev_centroids, prev_normals,
+                                    prev_counts, prev_valid, pose_quat,
+                                    pose_trans):
+        """Planar stage with temporal seed transfer: seeds from the previous
+        frame's regions (FindSeedPointsFromLastPlanarRegions,
+        planar_region.h:478-519) are APPENDED to the ranked vector — the
+        driver pops back-to-front, so they are tried first, largest
+        previous region first (multimap ascending order, appended last)."""
+        from pcseg_tpu.ops import geom
+        cfg = self.config
+        nrm = normals_op.compute_normals_organized(
+            points, sensor_origin, cfg.normals)
+        seed_idx, seed_valid = self._rank_seeds(points, nrm)
+        t_idx, t_found = seeds_op.seeds_from_last_regions(
+            points, nrm, prev_centroids, prev_normals, prev_counts,
+            prev_valid, geom.Pose(pose_quat, pose_trans),
+            cfg.planar.max_distance_for_seed_point,
+            cfg.planar.max_normal_difference_angle_for_seed_point)
+        seed_idx = jnp.concatenate([seed_idx, t_idx])
+        seed_valid = jnp.concatenate([seed_valid, t_found])
+        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid)
         return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
 
     def _cluster_stage_impl(self, points, labels):
@@ -126,13 +155,18 @@ class Segmenter:
             points, labels, seed_vec, self.config.cluster,
             initial_id_offset=0)
 
-    def _forward_impl(self, points, sensor_origin):
+    def _forward_impl(self, points, sensor_origin, labels0=None):
         """Pure-device forward: normals + planar growth + cluster closure.
 
         Uses device-side planar acceptance (min-inlier gate only) and
         offsets cluster ids by the device planar count — the benchmarkable
-        single-program path."""
-        nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin)
+        single-program path. ``labels0`` (optional [H, W] int32) carries
+        input masking: MASKED_EGO / MASKED_OUT cells are never claimed by
+        growth or clustering (the reference's caller-prepared label grid,
+        segmentation.h:36-45 + segmentation.cc:21-26) and survive into the
+        output labels."""
+        nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin,
+                                                      labels0)
         hw = points.shape[0] * points.shape[1]
         seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
         cres = cluster.segment_clusters(
@@ -144,8 +178,8 @@ class Segmenter:
             cres.labels + dev.num_regions, cres.labels)
         return final, nrm, dev, cres
 
-    def device_forward(self, points, sensor_origin):
-        return self._forward(points, sensor_origin)
+    def device_forward(self, points, sensor_origin, input_mask=None):
+        return self._forward(points, sensor_origin, input_mask)
 
     def device_forward_batched(self, points_batch, sensor_origins):
         """Streaming batch (BASELINE config 4): vmap the full device
@@ -184,11 +218,56 @@ class Segmenter:
     # -- full pipeline ------------------------------------------------------
 
     def segment_frame(self, points, sensor_origin,
-                      rot_robot: Optional[np.ndarray] = None) -> FrameResult:
+                      rot_robot: Optional[np.ndarray] = None,
+                      prev_regions: Optional[List] = None,
+                      pose_cur_prev=None,
+                      input_mask: Optional[np.ndarray] = None) -> FrameResult:
+        """Full pipeline on one frame.
+
+        Args:
+          points/sensor_origin: the organized cloud.
+          rot_robot: optional 3x3 robot-frame rotation for discontinuity z
+            checks.
+          prev_regions: optional list of PlanarRegionRecord from the
+            previous frame — enables temporal seed transfer
+            (FindSeedPointsFromLastPlanarRegions, planar_region.h:478-519).
+            Requires planar.max_distance_for_seed_point > 0 (the reference
+            has no default; max_normal_difference_angle_for_seed_point is
+            in radians, matching the reference's cosf).
+          pose_cur_prev: geom.Pose mapping previous-frame coordinates into
+            the current frame (identity if None).
+          input_mask: optional [H, W] int32 initial label grid carrying
+            MASKED_EGO / MASKED_OUT sentinels (segmentation.h:36-45);
+            masked cells are never claimed and survive into the output.
+        """
+        from pcseg_tpu.ops import geom
         cfg = self.config
         points_j = jnp.asarray(points)
-        nrm, dev, num_seeds = self._planar_stage(
-            points_j, jnp.asarray(sensor_origin))
+        if input_mask is not None:
+            labels0 = jnp.asarray(input_mask, jnp.int32)
+        else:
+            labels0 = jnp.full(points_j.shape[:2], UNLABELED, jnp.int32)
+        if prev_regions is not None and len(prev_regions) > 0:
+            cap = cfg.planar.max_regions
+            r = min(len(prev_regions), cap)
+            cents = np.zeros((cap, 3), np.float32)
+            norms = np.zeros((cap, 3), np.float32)
+            counts = np.zeros((cap,), np.int32)
+            valid = np.zeros((cap,), bool)
+            for i, rec in enumerate(prev_regions[:cap]):
+                cents[i] = np.asarray(rec.centroid, np.float32)
+                norms[i] = np.asarray(rec.plane[:3], np.float32)
+                counts[i] = int(rec.count)
+                valid[i] = True
+            pose = pose_cur_prev if pose_cur_prev is not None \
+                else geom.Pose.identity()
+            nrm, dev, num_seeds = self._planar_stage_temporal(
+                points_j, jnp.asarray(sensor_origin), labels0,
+                jnp.asarray(cents), jnp.asarray(norms), jnp.asarray(counts),
+                jnp.asarray(valid), pose.quat, pose.trans)
+        else:
+            nrm, dev, num_seeds = self._planar_stage(
+                points_j, jnp.asarray(sensor_origin), labels0)
         points_np = np.asarray(points, np.float32)
         normals_np = np.asarray(nrm)
 

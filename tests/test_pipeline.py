@@ -87,3 +87,66 @@ class TestSegmentFrame:
             jnp.asarray(pts), jnp.zeros(3))
         assert final.shape == pts.shape[:2]
         assert int(dev.num_regions) >= 1
+
+
+class TestTemporalSeeds:
+    def test_prev_regions_seed_next_frame(self):
+        """Temporal transfer (planar_region.h:478-519): with the per-frame
+        seed finders effectively disabled, only seeds transferred from the
+        previous frame's regions can found regions in frame 2."""
+        import dataclasses
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.models.config import (
+            PlanarRegionConfig, SeedsFromPlaneSupportParams)
+        from tests import fixtures
+
+        pts, origin = fixtures.synthetic_room_cloud(40, 40, f=40.0, seed=2)
+        cfg1 = pipeline.SegmenterConfig(run_clustering=False)
+        seg1 = pipeline.Segmenter(cfg1)
+        res1 = seg1.segment_frame(pts, origin)
+        assert res1.metrics.num_planar_regions >= 2
+
+        cfg2 = pipeline.SegmenterConfig(
+            run_clustering=False,
+            # impossible support requirement: no per-frame seeds
+            plane_support_seeds=dataclasses.replace(
+                SeedsFromPlaneSupportParams(), min_num_support_points=10**6),
+            planar=dataclasses.replace(
+                PlanarRegionConfig(),
+                max_distance_for_seed_point=0.5,
+                max_normal_difference_angle_for_seed_point=0.2))
+        seg2 = pipeline.Segmenter(cfg2)
+        # without prev_regions: nothing can seed
+        res_none = seg2.segment_frame(pts, origin)
+        assert res_none.metrics.num_planar_regions == 0
+        # with prev_regions: the transferred seeds found the same planes
+        res2 = seg2.segment_frame(pts, origin, prev_regions=res1.planar_regions)
+        assert res2.metrics.num_planar_regions \
+            == res1.metrics.num_planar_regions
+        for a, b in zip(res2.planar_regions, res1.planar_regions):
+            assert abs(float(np.dot(a.plane[:3], b.plane[:3]))) > 0.999
+
+
+class TestMaskedInput:
+    def test_masked_cells_survive_untouched(self):
+        """MASKED_EGO / MASKED_OUT (segmentation.h:36-45): masked cells are
+        never claimed by growth or clustering and survive to the output."""
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.models.config import MASKED_EGO, MASKED_OUT, UNLABELED
+        from tests import fixtures
+
+        pts, origin = fixtures.synthetic_room_cloud(40, 40, f=40.0, seed=2)
+        mask = np.full((40, 40), UNLABELED, np.int32)
+        mask[5:15, 5:15] = MASKED_EGO
+        mask[30:34, 20:28] = MASKED_OUT
+
+        seg = pipeline.Segmenter(pipeline.SegmenterConfig())
+        res = seg.segment_frame(pts, origin, input_mask=mask)
+        np.testing.assert_array_equal(res.labels[5:15, 5:15], MASKED_EGO)
+        np.testing.assert_array_equal(res.labels[30:34, 20:28], MASKED_OUT)
+        # regions still found outside the mask
+        assert res.metrics.num_planar_regions >= 1
+        # device forward carries the mask too
+        final, nrm, dev, cres = seg.device_forward(
+            jnp.asarray(pts), jnp.asarray(origin), jnp.asarray(mask))
+        assert (np.asarray(final)[5:15, 5:15] == MASKED_EGO).all()
