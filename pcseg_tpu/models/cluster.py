@@ -51,7 +51,8 @@ def segment_clusters(points: jnp.ndarray,
                      seed_indices: jnp.ndarray,
                      config: ClusterRegionConfig = ClusterRegionConfig(),
                      initial_id_offset: int = 0,
-                     seed_valid: Optional[jnp.ndarray] = None) -> ClusterResult:
+                     seed_valid: Optional[jnp.ndarray] = None,
+                     canonical_seeds: bool = False) -> ClusterResult:
     """Segment euclidean clusters on an organized grid.
 
     Args:
@@ -65,9 +66,17 @@ def segment_clusters(points: jnp.ndarray,
       initial_id_offset: added to every assigned region id
         (segmentation.h:271).
       seed_valid: optional [S] bool mask for padded seed arrays.
+      canonical_seeds: promise that ``seed_indices`` is the full canonical
+        sweep [hw-1 .. 0] with no seed_valid mask (every pixel seeds, in
+        ascending col-major pop order — the production pipeline's cluster
+        closure). Then a component's founding pop priority IS its root
+        (min eligible col-major index), so the priority scatter, the
+        per-component min-reduction, and the full-grid argsort are all
+        skipped — several ms/frame on TPU.
 
     Returns ClusterResult with dense region ids assigned exactly like the
-    reference (verified against clustering_test.cc:127-151).
+    reference (verified against clustering_test.cc:127-151; the canonical
+    fast path is asserted identical to the general path in tests).
     """
     h, w = points.shape[0], points.shape[1]
     hw = h * w
@@ -88,53 +97,70 @@ def segment_clusters(points: jnp.ndarray,
             jnp.asarray(config.squared_distance_threshold, points.dtype),
             config.half_search_window)
 
-    # --- seed pop priorities -------------------------------------------------
-    s = seed_indices.shape[0]
-    pop_pos = (s - 1) - jnp.arange(s, dtype=jnp.int32)  # last entry pops first
-    if seed_valid is not None:
-        pop_pos = jnp.where(seed_valid, pop_pos, inf)
-    # eligibility of the seed point itself (pre-labeled seeds are skipped,
-    # segmentation.h:258-260)
-    elig_cm = connectivity._lookup_colmajor(
-        eligible, jnp.clip(seed_indices, 0, hw - 1).reshape(1, -1),
-        h, w, False).reshape(-1)
-    pop_pos = jnp.where(elig_cm, pop_pos, inf)
-
-    prio_grid_flat_cm = jnp.full((hw,), inf, jnp.int32)
-    prio_grid_flat_cm = prio_grid_flat_cm.at[
-        jnp.clip(seed_indices, 0, hw - 1)].min(pop_pos)
-    # convert to row-major grid to align with roots
-    prio_grid = prio_grid_flat_cm.reshape(w, h).T
-
-    # --- per-component reductions (keyed by col-major root index) -----------
+    # --- per-component sizes (keyed by col-major root index) ----------------
     sizes = connectivity.segment_field(
         eligible.astype(jnp.int32), roots, eligible, h, w, "sum")
-    min_prio = connectivity.segment_field(
-        jnp.where(eligible, prio_grid, inf), roots, eligible, h, w, "min")
 
-    accepted = (sizes >= config.min_region_inliers) & (min_prio < inf)
+    max_regions = config.max_regions
+    if canonical_seeds:
+        # Founding pop priority of a component == its root index (every
+        # pixel seeds, ascending col-major pop order), so acceptance order
+        # == ascending root order: dense ids by cumsum over the accepted-
+        # root indicator, no scatter/argsort.
+        accepted = sizes >= config.min_region_inliers   # [HW] by root index
+        region_id_by_root = jnp.where(
+            accepted, jnp.cumsum(accepted.astype(jnp.int32)) - 1, -1)
+        num_regions = jnp.sum(accepted.astype(jnp.int32))
+        # region sizes table: sort (dense rank, size) pairs, take the head
+        sort_key = jnp.where(accepted, region_id_by_root, inf)
+        _, sizes_sorted = jax.lax.sort((sort_key, sizes), num_keys=1)
+        region_sizes = jnp.where(
+            jnp.arange(max_regions) < num_regions,
+            sizes_sorted[:max_regions], 0)
+    else:
+        # --- seed pop priorities ---------------------------------------------
+        s = seed_indices.shape[0]
+        pop_pos = (s - 1) - jnp.arange(s, dtype=jnp.int32)  # last pops first
+        if seed_valid is not None:
+            pop_pos = jnp.where(seed_valid, pop_pos, inf)
+        # eligibility of the seed point itself (pre-labeled seeds skipped,
+        # segmentation.h:258-260)
+        elig_cm = connectivity._lookup_colmajor(
+            eligible, jnp.clip(seed_indices, 0, hw - 1).reshape(1, -1),
+            h, w, False).reshape(-1)
+        pop_pos = jnp.where(elig_cm, pop_pos, inf)
 
-    # --- dense ids in acceptance order (ascending founding-seed pop pos) ----
-    sort_key = jnp.where(accepted, min_prio, inf)
-    order = jnp.argsort(sort_key)                      # [HW]
-    ranks_sorted = jnp.cumsum(accepted[order].astype(jnp.int32)) - 1
-    region_id_by_root = jnp.full((hw,), -1, jnp.int32).at[order].set(
-        jnp.where(accepted[order], ranks_sorted, -1))
-    num_regions = jnp.sum(accepted.astype(jnp.int32))
+        prio_grid_flat_cm = jnp.full((hw,), inf, jnp.int32)
+        prio_grid_flat_cm = prio_grid_flat_cm.at[
+            jnp.clip(seed_indices, 0, hw - 1)].min(pop_pos)
+        # convert to row-major grid to align with roots
+        prio_grid = prio_grid_flat_cm.reshape(w, h).T
+
+        min_prio = connectivity.segment_field(
+            jnp.where(eligible, prio_grid, inf), roots, eligible, h, w,
+            "min")
+
+        accepted = (sizes >= config.min_region_inliers) & (min_prio < inf)
+
+        # --- dense ids in acceptance order (ascending founding pop pos) -----
+        sort_key = jnp.where(accepted, min_prio, inf)
+        order = jnp.argsort(sort_key)                      # [HW]
+        ranks_sorted = jnp.cumsum(accepted[order].astype(jnp.int32)) - 1
+        region_id_by_root = jnp.full((hw,), -1, jnp.int32).at[order].set(
+            jnp.where(accepted[order], ranks_sorted, -1))
+        num_regions = jnp.sum(accepted.astype(jnp.int32))
+
+        region_sizes = jnp.zeros((max_regions,), jnp.int32)
+        valid_root = accepted & (region_id_by_root < max_regions) \
+            & (region_id_by_root >= 0)
+        region_sizes = region_sizes.at[
+            jnp.where(valid_root, region_id_by_root, max_regions - 1)].add(
+            jnp.where(valid_root, sizes, 0), mode="drop")
 
     point_region = region_id_by_root[jnp.clip(roots, 0, hw - 1)]
     point_region = jnp.where((roots < hw) & eligible, point_region, -1)
     new_labels = jnp.where(point_region >= 0,
                            point_region + initial_id_offset, labels)
-
-    # --- bounded per-region size table --------------------------------------
-    max_regions = config.max_regions
-    region_sizes = jnp.zeros((max_regions,), jnp.int32)
-    valid_root = accepted & (region_id_by_root < max_regions) \
-        & (region_id_by_root >= 0)
-    region_sizes = region_sizes.at[
-        jnp.where(valid_root, region_id_by_root, max_regions - 1)].add(
-        jnp.where(valid_root, sizes, 0), mode="drop")
 
     return ClusterResult(labels=new_labels, num_regions=num_regions,
                          region_sizes=region_sizes, roots=roots)

@@ -153,7 +153,7 @@ class Segmenter:
         seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
         return cluster.segment_clusters(
             points, labels, seed_vec, self.config.cluster,
-            initial_id_offset=0)
+            initial_id_offset=0, canonical_seeds=True)
 
     def _forward_impl(self, points, sensor_origin, labels0=None):
         """Pure-device forward: normals + planar growth + cluster closure.
@@ -171,7 +171,7 @@ class Segmenter:
         seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
         cres = cluster.segment_clusters(
             points, dev.labels, seed_vec, self.config.cluster,
-            initial_id_offset=0)
+            initial_id_offset=0, canonical_seeds=True)
         # cluster ids follow the planar ids
         final = jnp.where(
             (cres.labels >= 0) & (dev.labels == UNLABELED),

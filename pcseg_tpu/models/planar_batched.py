@@ -251,7 +251,8 @@ def grow_planar_regions_batched(
         initial_id_offset: int = 0,
         flood_rounds: int = 12,
         founder_epochs: int = 3,
-        refine_epochs: int = 2) -> PlanarRegions:
+        refine_epochs: int = 2,
+        radii_base: int = 8) -> PlanarRegions:
     """Batched drop-in for grow_planar_regions (same result contract)."""
     h, w = points.shape[0], points.shape[1]
     hw = h * w
@@ -428,7 +429,7 @@ def grow_planar_regions_batched(
     # geometric radius schedule: local first (cadence emulation), global by
     # the last epochs; covers any grid once radius > max(H, W)
     total_epochs = founder_epochs + refine_epochs
-    radii = [8 * (3 ** e) for e in range(total_epochs)]
+    radii = [radii_base * (3 ** e) for e in range(total_epochs)]
     radii[-1] = None  # final epochs unbounded
     if total_epochs >= 2 and radii[-2] is not None \
             and radii[-2] < max(h, w):

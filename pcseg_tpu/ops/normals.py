@@ -113,21 +113,27 @@ class _DirectionalScan(NamedTuple):
     coord: jnp.ndarray   # [H, W] int32 accepted row (vertical) / col (horiz.)
 
 
-def _scan_direction(points, center, dr, dc, k_max, min_d2, max_d2,
+def _scan_direction(padded, center, dr, dc, k_max, min_d2, max_d2,
                     rows_idx, cols_idx):
     """First in-band neighbor along direction (dr, dc), offsets 1..k_max.
 
     Mirrors the row/col walks of FindNormalSupportNeighbors
     (algorithms.h:136-199): skip non-finite, accept the first neighbor with
     min_d2 <= ||p - center||^2 <= max_d2.
-    """
-    h, w = points.shape[0], points.shape[1]
-    found = jnp.zeros((h, w), bool)
-    acc_point = jnp.zeros_like(points)
-    acc_coord = jnp.zeros((h, w), jnp.int32)
 
-    for k in range(1, k_max + 1):
-        p = _shift(points, -dr * k, -dc * k, jnp.nan)  # p[r,c] = points[r+dr*k, c+dc*k]
+    ``padded`` is the NaN-padded cloud from :func:`_pad_for_scan`. The k
+    loop is a ``fori_loop`` over one dynamic_slice per step — on-device
+    loop iterations are nearly free on TPU and keep the XLA:CPU compile
+    linear in 1, not k_max (a statically unrolled K=64 chain compiles
+    pathologically slowly there).
+    """
+    h, w = center.shape[0], center.shape[1]
+    pk = (padded.shape[0] - h) // 2
+
+    def body(k, state):
+        found, acc_point, acc_coord = state
+        p = jax.lax.dynamic_slice(
+            padded, (pk + dr * k, pk + dc * k, 0), (h, w, 3))
         d2 = jnp.sum(jnp.square(p - center), axis=-1)
         ok = (d2 >= min_d2) & (d2 <= max_d2)  # NaN/inf compare false
         take = ok & ~found
@@ -135,6 +141,13 @@ def _scan_direction(points, center, dr, dc, k_max, min_d2, max_d2,
         acc_point = jnp.where(take[..., None], p, acc_point)
         coord = (rows_idx + dr * k) if dr != 0 else (cols_idx + dc * k)
         acc_coord = jnp.where(take, coord, acc_coord)
+        return found, acc_point, acc_coord
+
+    found, acc_point, acc_coord = jax.lax.fori_loop(
+        1, k_max + 1,
+        body,
+        (jnp.zeros((h, w), bool), jnp.zeros_like(center),
+         jnp.zeros((h, w), jnp.int32)))
     return _DirectionalScan(found, acc_point, acc_coord)
 
 
@@ -165,13 +178,15 @@ def find_normal_support(points: jnp.ndarray,
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
-    up = _scan_direction(points, center, -1, 0, k_max, min_d2, max_d2,
+    padded = jnp.pad(points, ((k_max, k_max), (k_max, k_max), (0, 0)),
+                     constant_values=jnp.nan)
+    up = _scan_direction(padded, center, -1, 0, k_max, min_d2, max_d2,
                          rows_idx, cols_idx)
-    down = _scan_direction(points, center, 1, 0, k_max, min_d2, max_d2,
+    down = _scan_direction(padded, center, 1, 0, k_max, min_d2, max_d2,
                            rows_idx, cols_idx)
-    left = _scan_direction(points, center, 0, -1, k_max, min_d2, max_d2,
+    left = _scan_direction(padded, center, 0, -1, k_max, min_d2, max_d2,
                            rows_idx, cols_idx)
-    right = _scan_direction(points, center, 0, 1, k_max, min_d2, max_d2,
+    right = _scan_direction(padded, center, 0, 1, k_max, min_d2, max_d2,
                             rows_idx, cols_idx)
 
     acc = _Moments10.zeros((h, w), dtype)

@@ -137,15 +137,15 @@ def seeds_from_average_normals(
 def average_normal_seed_list(seed_mask: SeedMask, max_seeds: int):
     """Ranked seed vector in the reference's emit order (row-outer then
     column scan, segmentation.h:159-181): returns (indices [max_seeds],
-    valid [max_seeds]); the driver pops back-to-front."""
+    valid [max_seeds]); the driver pops back-to-front. Over capacity, the
+    back of the vector (the first-popped seeds) is kept."""
     h, w = seed_mask.mask.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     scan_pos = rows * w + cols  # row-outer scan order
-    inf = jnp.int32(2**31 - 1)
-    key = jnp.where(seed_mask.mask, scan_pos, inf).reshape(-1)
-    order = jnp.argsort(key)[:max_seeds]
-    valid = key[order] < inf
+    key = jnp.where(seed_mask.mask, scan_pos, -1).reshape(-1)
+    order = jnp.argsort(key)[-max_seeds:]
+    valid = key[order] >= 0
     indices = seed_mask.seed_index.reshape(-1)[order]
     return jnp.where(valid, indices, 0), valid
 
@@ -177,15 +177,20 @@ def plane_support_counts(points, normals, params):
 
 def rank_plane_support_seeds(count, qualifies, h, w, max_seeds):
     """Reference multimap ranking: (count asc, col-major scan position asc);
-    the driver pops back-to-front so the best seed is consumed first."""
+    the driver pops back-to-front so the best seed is consumed first.
+
+    When more than ``max_seeds`` qualify, the TOP of the ranking (the back
+    of the ascending vector — the seeds the driver actually consumes) is
+    kept: invalid entries key below every valid one, so taking the last
+    ``max_seeds`` of the ascending sort keeps the best seeds in pop order.
+    """
     rows = jax.lax.broadcasted_iota(jnp.int32, count.shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, count.shape, 1)
     lin_idx = cols * h + rows
     # int32 key safe while (window_area+1) * H * W < 2^31.
-    inf = jnp.int32(2**31 - 1)
-    key = jnp.where(qualifies, count * (h * w) + lin_idx, inf).reshape(-1)
-    order = jnp.argsort(key)[:max_seeds]
-    valid = key[order] < inf
+    key = jnp.where(qualifies, count * (h * w) + lin_idx, -1).reshape(-1)
+    order = jnp.argsort(key)[-max_seeds:]
+    valid = key[order] >= 0
     indices = lin_idx.reshape(-1)[order]
     return jnp.where(valid, indices, 0), valid
 

@@ -102,3 +102,31 @@ class TestOracleParity:
                  oracle.lin(5, 0, 10)]
         agreement, got, want, _, _ = self._agree(pts, seeds, offset=3)
         assert agreement == 1.0, agreement
+
+
+class TestCanonicalFastPath:
+    def test_matches_general_path(self):
+        """canonical_seeds=True must be bit-identical to the general path
+        on the full [hw-1..0] sweep."""
+        import jax.numpy as jnp
+        from pcseg_tpu.models.config import UNLABELED
+        rng = np.random.default_rng(11)
+        h, w = 48, 56
+        pts = rng.uniform(-8, 8, (h, w, 3)).astype(np.float32)
+        pts[10:20, 10:25] = rng.normal(0, 0.1, (10, 15, 3)).astype(np.float32)
+        pts[30:44, 30:50] = np.float32([4, 4, 0]) + rng.normal(
+            0, 0.1, (14, 20, 3)).astype(np.float32)
+        pts[rng.random((h, w)) < 0.05] = np.nan
+        labels = np.full((h, w), UNLABELED, np.int32)
+        labels[0:5, :] = 0  # pre-claimed planar region
+        seed_vec = jnp.arange(h * w - 1, -1, -1, dtype=jnp.int32)
+        cfg = ClusterRegionConfig()
+        a = cluster.segment_clusters(jnp.asarray(pts), jnp.asarray(labels),
+                                     seed_vec, cfg, 3)
+        b = cluster.segment_clusters(jnp.asarray(pts), jnp.asarray(labels),
+                                     seed_vec, cfg, 3, canonical_seeds=True)
+        np.testing.assert_array_equal(np.asarray(a.labels),
+                                      np.asarray(b.labels))
+        assert int(a.num_regions) == int(b.num_regions)
+        np.testing.assert_array_equal(np.asarray(a.region_sizes),
+                                      np.asarray(b.region_sizes))
