@@ -75,8 +75,11 @@ class PlanarRegionConfig:
     max_distance_for_seed_point: float = 0.0
     max_normal_difference_angle_for_seed_point: float = 0.0
 
-    # TPU-only static bounds.
-    max_regions: int = 64          # capacity of the per-frame region table
+    # TPU-only static bounds. 32 slots cover real frames by a wide margin
+    # (room scenes produce <= ~10 planar regions; the overflow flag reports
+    # exhaustion) and halve the batched grower's per-epoch HBM traffic —
+    # measured 560x560 oracle agreement is unchanged vs 64 slots.
+    max_regions: int = 32          # capacity of the per-frame region table
     max_growth_iters: int = 4096   # bound on BFS wavefronts per region
 
     # TPU-only growth strategy. "batched" (default) = all regions grown

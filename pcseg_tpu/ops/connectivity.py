@@ -280,7 +280,8 @@ def _segmented_min_scan(labels, edge_ok, axis, big):
 
 
 def connected_components_scan(points, eligible, squared_threshold,
-                              half_window, rounds=24):
+                              half_window, rounds=24,
+                              init_labels=None, big_value=None):
     """Statically-unrolled gated CCL — no data-dependent loops.
 
     Per round: segmented min-scans along rows and columns (axis edges
@@ -293,7 +294,10 @@ def connected_components_scan(points, eligible, squared_threshold,
     fixed point; verified in tests).
     """
     h, w = points.shape[0], points.shape[1]
-    big = jnp.int32(h * w)
+    # ``init_labels``/``big_value`` let a shard seed the propagation with
+    # GLOBAL col-major indices (parallel/sharded.py); default = local grid.
+    big_py = h * w if big_value is None else int(big_value)
+    big = jnp.int32(big_py)
 
     offsets = [(dr, dc)
                for dc in range(-half_window, half_window + 1)
@@ -312,13 +316,15 @@ def connected_components_scan(points, eligible, squared_threshold,
     row_edge = gate_by_offset[(0, -1)]   # ok[r, c] links to (r, c-1)
     col_edge = gate_by_offset[(-1, 0)]   # ok[r, c] links to (r-1, c)
 
-    labels0 = jnp.where(eligible, colmajor_index_grid(h, w), big)
+    if init_labels is None:
+        init_labels = colmajor_index_grid(h, w)
+    labels0 = jnp.where(eligible, init_labels, big)
 
     def one_round(labels):
         # big as a Python int: it feeds jnp.pad's constant_values in the
         # doubling-scan shifts, which needs a static fill value.
-        labels = _segmented_min_scan(labels, row_edge, axis=1, big=h * w)
-        labels = _segmented_min_scan(labels, col_edge, axis=0, big=h * w)
+        labels = _segmented_min_scan(labels, row_edge, axis=1, big=big_py)
+        labels = _segmented_min_scan(labels, col_edge, axis=0, big=big_py)
         for (dr, dc), gate in zip(offsets, gates):
             nb = _shift2(labels, dr, dc, big)
             labels = jnp.minimum(labels, jnp.where(gate, nb, big))

@@ -108,3 +108,86 @@ class TestShardedStep:
             check_vma=False))
         multi = np.asarray(fn(jnp.asarray(pts), jnp.asarray(elig)))
         np.testing.assert_array_equal(single, multi)
+
+
+class TestShardedBatchedGrower:
+    def test_matches_single_device_batched(self, mesh):
+        """The production batched grower, column-sharded, must reproduce the
+        single-device batched output (same epochs, same rank algebra; psum
+        refits are exact because the merge algebra is addition)."""
+        from pcseg_tpu.models import planar_batched
+        from pcseg_tpu import oracle
+        P = jax.sharding.PartitionSpec
+
+        pts, origin = room()
+        nrm = oracle.compute_normals_organized(pts, origin)
+        h, w = pts.shape[:2]
+        cfg = PlanarRegionConfig()
+
+        ranked = seeds_op.seeds_from_plane_support(
+            jnp.asarray(pts), jnp.asarray(nrm))
+        labels0 = jnp.full((h, w), UNLABELED, jnp.int32)
+        single = planar_batched.grow_planar_regions_batched(
+            jnp.asarray(pts), jnp.asarray(nrm), labels0,
+            ranked.indices, ranked.valid, cfg, 0)
+
+        fn = jax.jit(jax.shard_map(
+            lambda p, n, si, sv: sharded.sharded_grow_planar_regions_batched(
+                p, n, jnp.full((h, w // NDEV), UNLABELED, jnp.int32),
+                si, sv, cfg, h, w, "space", 0),
+            mesh=mesh,
+            in_specs=(P(None, "space", None), P(None, "space", None),
+                      P(), P()),
+            out_specs=planar_model.PlanarRegions(
+                labels=P(None, "space"), num_regions=P(), planes=P(),
+                centroids=P(), curvatures=P(), counts=P(),
+                seed_indices=P(),
+                moments=sharded.plane_fit.PlaneMoments(
+                    s2=P(), s1=P(), w=P(), normal_hint=P()),
+                overflow=P()),
+            check_vma=False))
+        multi = fn(jnp.asarray(pts), jnp.asarray(nrm),
+                   ranked.indices, ranked.valid)
+
+        assert int(multi.num_regions) == int(single.num_regions)
+        agree = (np.asarray(multi.labels) == np.asarray(single.labels)).mean()
+        assert agree >= 0.99, agree
+        ns = int(single.num_regions)
+        np.testing.assert_allclose(np.asarray(multi.counts)[:ns],
+                                   np.asarray(single.counts)[:ns], atol=16)
+        for i in range(ns):
+            dot = abs(float(np.asarray(multi.planes)[i, :3]
+                            @ np.asarray(single.planes)[i, :3]))
+            assert dot > 0.999
+
+
+class TestShardedSeedTopK:
+    def test_matches_replicated_ranking(self, mesh):
+        from pcseg_tpu import oracle
+        P = jax.sharding.PartitionSpec
+        pts, origin = room()
+        nrm = oracle.compute_normals_organized(pts, origin)
+        h, w = pts.shape[:2]
+        params = SeedsFromPlaneSupportParams()
+
+        # single-device natural-orientation ranking (the sharded pipeline's
+        # documented convention)
+        count, ok = seeds_op.plane_support_counts(
+            jnp.asarray(pts), jnp.asarray(nrm), params)
+        qualifies = ok & (count >= params.min_num_support_points)
+        want_idx, want_valid = seeds_op.rank_plane_support_seeds(
+            count, qualifies, h, w, params.max_seeds)
+
+        fn = jax.jit(jax.shard_map(
+            lambda p, n: sharded.sharded_plane_support_seeds(
+                p, n, params, h, w, "space"),
+            mesh=mesh,
+            in_specs=(P(None, "space", None), P(None, "space", None)),
+            out_specs=(P(), P()),
+            check_vma=False))
+        got_idx, got_valid = fn(jnp.asarray(pts), jnp.asarray(nrm))
+        # vector lengths differ (single-device caps at min(hw, max_seeds);
+        # sharded pads to max_seeds) — the valid ascending tail must match
+        gi = np.asarray(got_idx)[np.asarray(got_valid)]
+        wi = np.asarray(want_idx)[np.asarray(want_valid)]
+        np.testing.assert_array_equal(gi, wi)
