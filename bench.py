@@ -168,6 +168,32 @@ def main():
         times.append(time.perf_counter() - t0)
     emit(batch * H * W / min(times), baseline_pps)
 
+    # --- secondary: full pipeline incl. host finalize (BASELINE config 2) ---
+    # classify + boundary/hull/area + detected-object extraction on top of
+    # the device stages; recorded in benchmarks/bench_extended.json for the
+    # measurement plan (not the headline line).
+    try:
+        full_times = []
+        for i in range(3):
+            p = points_np + np.float32((i + 1) * 1e-5)
+            t0 = time.perf_counter()
+            res = seg.segment_frame(p, origin_np)
+            full_times.append(time.perf_counter() - t0)
+        ext = {
+            "full_pipeline_ms_per_frame": round(min(full_times) * 1e3, 1),
+            "full_pipeline_points_per_sec": round(H * W / min(full_times), 1),
+            "num_planar_regions": res.metrics.num_planar_regions,
+            "num_clusters": res.metrics.num_clusters,
+            "stream_points_per_sec": round(batch * H * W / min(times), 1),
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "bench_extended.json"),
+                  "w") as f:
+            json.dump(ext, f, indent=2)
+        print(f"bench extended: {ext}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - secondary metric must not die
+        print(f"bench extended failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -130,6 +130,139 @@ def _segmented_or_spread_packed(reach, gate_bits, not_gate, axis,
     return (fwd | bwd) & gate_bits
 
 
+def _flood_pallas(g, reach0, rounds, max_run=None, interpret=False):
+    """In-VMEM Pallas flood kernel: the whole packed state ([NW, H, W]
+    uint32 — 1.2 MB per word-plane at VGA) stays resident in VMEM across
+    every doubling-scan round, so HBM traffic is one read of gate+sources
+    and one write of the result instead of O(rounds * scans * planes).
+    Same fixed point as the XLA while_loop formulation (tested equal).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import numpy as np
+    nw, h, w = g.shape
+    ones = np.uint32(0xFFFFFFFF)
+    zero = np.uint32(0)
+
+    def shift(x, d, axis, fill):
+        # static-shape pad+slice shift inside the kernel (VPU-only)
+        if d == 0:
+            return x
+        n = x.shape[axis]
+        pad = [(0, 0)] * x.ndim
+        idx = [slice(None)] * x.ndim
+        if d > 0:
+            pad[axis] = (d, 0)
+            idx[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, -d)
+            idx[axis] = slice(-d, n - d)
+        return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
+
+    def seg_or(v, blocked, axis, reverse, bound):
+        b = blocked
+        d = 1
+        while d < bound:
+            s = -d if reverse else d
+            vs = shift(v, s, axis, zero)
+            bs = shift(b, s, axis, ones)
+            v = v | (vs & ~b)
+            b = b | bs
+            d *= 2
+        return v
+
+    def kernel(g_ref, r_ref, o_ref):
+        gk = g_ref[:]
+        not_g = ~gk
+
+        def spread(reach, axis, bound):
+            fwd = seg_or(reach, not_g, axis, False, bound)
+            bwd = seg_or(reach, not_g, axis, True, bound)
+            return (fwd | bwd) & gk
+
+        bw = w if max_run is None else min(w, max_run)
+        bh = h if max_run is None else min(h, max_run)
+
+        def one_round(reach):
+            reach = spread(reach, 2, bw)
+            return spread(reach, 1, bh)
+
+        def cond(st):
+            reach, prev, it = st
+            return jnp.logical_and(it < rounds, jnp.any(reach != prev))
+
+        def body(st):
+            reach, _, it = st
+            return one_round(reach), reach, it + 1
+
+        r0 = r_ref[:]
+        first = one_round(r0)
+        reach, _, _ = jax.lax.while_loop(cond, body,
+                                         (first, r0, jnp.int32(1)))
+        o_ref[:] = reach
+
+    # Word planes flood independently (bits of disjoint slots), so NW is a
+    # grid axis: each program holds one [1, H, W] plane (~3 * H*W*4 bytes of
+    # VMEM). Under vmap the batch becomes an extra grid dimension, keeping
+    # per-program VMEM constant.
+    spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                        memory_space=(pltpu.ANY if interpret
+                                      else pltpu.VMEM))
+    kwargs = {}
+    if not interpret:
+        # the unrolled doubling-scan chain's temporaries exceed Mosaic's
+        # default 16 MB scoped-vmem budget at VGA; the chip has far more
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        kernel,
+        grid=(nw,),
+        out_shape=jax.ShapeDtypeStruct(g.shape, jnp.uint32),
+        in_specs=[spec] * 2,
+        out_specs=spec,
+        interpret=interpret,
+        **kwargs,
+    )(g, reach0)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _flood_call(rounds, max_run, interpret):
+    """custom_vmap wrapper: under vmap (batched frames) the batch folds
+    into the leading word-plane grid axis — word planes are independent,
+    so per-program VMEM stays one [1, H, W] plane instead of the whole
+    batch being stacked into a single kernel block (which OOMs VMEM)."""
+    @jax.custom_batching.custom_vmap
+    def call(g, r):
+        return _flood_pallas(g, r, rounds, max_run, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, g, r):  # noqa: ANN001
+        nw = g.shape[1]
+        g2 = g.reshape((axis_size * nw,) + g.shape[2:])
+        r2 = r.reshape((axis_size * nw,) + r.shape[2:])
+        out = call(g2, r2)
+        return out.reshape((axis_size, nw) + g.shape[2:]), True
+
+    return call
+
+
+# Flood implementation switch: "pallas" (in-VMEM kernel, TPU only) or
+# "xla" (while_loop over HBM-resident scans — CPU tests, fallback).
+FLOOD_IMPL = "auto"
+
+
+def _use_pallas():
+    if FLOOD_IMPL == "pallas":
+        return True
+    if FLOOD_IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def flood_fill_static(gate, sources, rounds, max_run=None):
     """Batched segmented-scan flood fill on the last two axes: one round of
     row+column segmented spread per 'turn' of the winding path, iterated to
@@ -147,6 +280,10 @@ def flood_fill_static(gate, sources, rounds, max_run=None):
     g = _pack_bits(gate)
     not_g = ~g
     reach0 = _pack_bits(sources & gate)
+
+    if _use_pallas():
+        reach = _flood_call(int(rounds), max_run, False)(g, reach0)
+        return _unpack_bits(reach, gate.shape[0])
 
     def one_round(reach):
         reach = _segmented_or_spread_packed(reach, g, not_g, -1, max_run)

@@ -118,3 +118,38 @@ class TestMergeCoplanar:
         assert alive.sum() == 1 and alive[0]
         got = np.asarray(out.members[0])
         assert (got == members[:n_chain].any(0)).all()
+
+
+class TestPallasFlood:
+    def test_matches_xla_fixed_point(self):
+        """The in-VMEM Pallas flood kernel must reach the same fixed point
+        as the XLA while_loop formulation (interpret mode on CPU)."""
+        rng = np.random.default_rng(5)
+        k, h, w = 40, 48, 64
+        gate = rng.random((k, h, w)) < 0.55
+        src = gate & (rng.random((k, h, w)) < 0.02)
+        g = planar_batched._pack_bits(jnp.asarray(gate))
+        r0 = planar_batched._pack_bits(jnp.asarray(src & gate))
+        want = planar_batched._unpack_bits(
+            jax.jit(lambda g, r: planar_batched._flood_pallas(
+                g, r, 64, interpret=True))(g, r0), k)
+        got_xla = planar_batched.flood_fill_static(
+            jnp.asarray(gate), jnp.asarray(src), 64)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got_xla))
+
+    def test_boxed_max_run(self):
+        rng = np.random.default_rng(8)
+        k, h, w = 8, 32, 32
+        gate = rng.random((k, h, w)) < 0.5
+        # cap runs at 9 by construction: sever every 9th row/col
+        gate[:, ::9, :] = False
+        gate[:, :, ::9] = False
+        src = gate & (rng.random((k, h, w)) < 0.05)
+        g = planar_batched._pack_bits(jnp.asarray(gate))
+        r0 = planar_batched._pack_bits(jnp.asarray(src & gate))
+        want = planar_batched._unpack_bits(
+            jax.jit(lambda g, r: planar_batched._flood_pallas(
+                g, r, 64, max_run=9, interpret=True))(g, r0), k)
+        got = planar_batched.flood_fill_static(
+            jnp.asarray(gate), jnp.asarray(src), 64, max_run=9)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
