@@ -312,6 +312,33 @@ class _Slots(NamedTuple):
     members: jnp.ndarray    # [K, H, W]
 
 
+# Rank sentinel for "not a seed" / dead slot. Strictly below int32 max so
+# arithmetic on ranks can't overflow; all real ranks (including the negative
+# ranks of appended temporal seeds) are far below it.
+INF_RANK = jnp.int32(2**30)
+
+
+def rank_grid_from_seed_vector(seed_indices, seed_valid, h, w,
+                               base=None, rank_offset=0):
+    """[H, W] int32 pop-rank grid from a ranked seed *vector* (the driver
+    pops back-to-front, so the LAST entry gets the best = smallest rank).
+
+    ``base``: optional existing rank grid to merge into (scatter-min), used
+    to append temporal seeds (planar_region.h:516 appends to the vector, so
+    appended seeds pop first) — such callers pass ``rank_offset=-s`` so the
+    vector's ranks sit strictly below every base-grid rank.
+    """
+    s = seed_indices.shape[0]
+    hw = h * w
+    rank = (s - 1) - jnp.arange(s, dtype=jnp.int32) + jnp.int32(rank_offset)
+    ok = seed_valid & (seed_indices >= 0) & (seed_indices < hw)
+    flat_cm = jnp.full((hw,), INF_RANK, jnp.int32) if base is None \
+        else jnp.swapaxes(base, 0, 1).reshape(hw)
+    flat_cm = flat_cm.at[jnp.clip(seed_indices, 0, hw - 1)].min(
+        jnp.where(ok, rank, INF_RANK))
+    return jnp.swapaxes(flat_cm.reshape(w, h), 0, 1)
+
+
 def merge_coplanar(slots: _Slots, points: jnp.ndarray, tau) -> _Slots:
     """Fuse adjacent slots growing the same physical plane.
 
@@ -389,34 +416,46 @@ def grow_planar_regions_batched(
         flood_rounds: int = 8,
         founder_epochs: int = 3,
         refine_epochs: int = 1,
-        radii_base: int = 8) -> PlanarRegions:
+        radii_base: int = 4,
+        seed_rank_grid: jnp.ndarray = None,
+        final_rounds: int = 64) -> PlanarRegions:
     """Batched drop-in for grow_planar_regions (same result contract).
 
-    Epoch/round defaults tuned on the 560x560 room scene: 2 founder + 1
-    refine + post-merge epochs at flood_rounds=8 measure the same oracle
-    agreement as 3+2 at 12 rounds (the convergence-checked while_loops
-    already stop early) at ~2.4x less growth time on TPU v5e.
+    Region identity follows the *rank grid*: every seed cell carries its
+    sequential pop rank (the reference's multimap order), a slot's rank is
+    the best (minimum) rank among its current members' seed cells, and
+    conflicts resolve to the best rank. This makes slot priorities converge
+    to the sequential acceptance order regardless of which seed happened to
+    found the slot: the reference's region i is founded by the best seed
+    not claimed by regions 0..i-1, which is exactly the best seed among its
+    own final members (greedy argument) — the quantity the per-epoch rank
+    update computes. A slot none of whose members is a seed dissolves (the
+    reference never grows a region without a seed inside it) and its cells
+    are released for re-claiming.
+
+    Founders: each epoch, every dead slot is (re)assigned the best-ranked
+    uncovered seed of a distinct 8x8-tile of the grid (spatial diversity —
+    the top of the global ranking is typically a run of adjacent same-count
+    seeds on one dominant surface, which would waste the whole slot budget
+    on one region per epoch).
     """
     h, w = points.shape[0], points.shape[1]
     hw = h * w
     dtype = points.dtype
     k_cap = config.max_regions
     tau = jnp.asarray(config.max_plane_distance, dtype)
-    inf_rank = jnp.int32(2**31 - 1)
-
-    s = seed_indices.shape[0]
-    # pop priority: last vector entry pops first -> rank 0
-    seed_rank = (s - 1) - jnp.arange(s, dtype=jnp.int32)
+    inf_rank = INF_RANK
 
     eligible0 = labels == UNLABELED
 
-    seed_r = seed_indices % h
-    seed_c = jnp.clip(seed_indices // h, 0, w - 1)
-    seed_pt = points[seed_r, seed_c]
-    seed_nm = normals[seed_r, seed_c]
-    seed_ok = (seed_valid & eligible0[seed_r, seed_c]
-               & jnp.all(jnp.isfinite(seed_nm), axis=-1)
-               & jnp.all(jnp.isfinite(seed_pt), axis=-1))
+    if seed_rank_grid is None:
+        seed_rank_grid = rank_grid_from_seed_vector(
+            seed_indices, seed_valid, h, w)
+    # a usable seed: eligible cell with finite point+normal
+    cell_ok = (eligible0
+               & jnp.all(jnp.isfinite(points), axis=-1)
+               & jnp.all(jnp.isfinite(normals), axis=-1))
+    rank_grid = jnp.where(cell_ok, seed_rank_grid, inf_rank)
 
     slots = _Slots(
         seed_idx=jnp.zeros((k_cap,), jnp.int32),
@@ -440,28 +479,44 @@ def grow_planar_regions_batched(
                                                                     None])
         return claim, new_members
 
+    # --- tile decomposition for founder diversity ---------------------------
+    n_tiles_axis = 8
+    th = -(-h // n_tiles_axis)          # ceil
+    tw = -(-w // n_tiles_axis)
+    n_tiles = n_tiles_axis * n_tiles_axis
+
+    def tile_winners(avail_rank):
+        """Per 8x8 tile, the (rank, col-major index) of its best available
+        seed. Returns (winner_rank [T], winner_cm_idx [T])."""
+        padded = jnp.full((th * n_tiles_axis, tw * n_tiles_axis),
+                          inf_rank, jnp.int32)
+        padded = padded.at[:h, :w].set(avail_rank)
+        t = padded.reshape(n_tiles_axis, th, n_tiles_axis, tw)
+        t = t.transpose(0, 2, 1, 3).reshape(n_tiles, th * tw)
+        loc = jnp.argmin(t, axis=1).astype(jnp.int32)
+        val = jnp.take_along_axis(t, loc[:, None], axis=1)[:, 0]
+        ti = jnp.arange(n_tiles, dtype=jnp.int32)
+        r = (ti // n_tiles_axis) * th + loc // tw
+        c = (ti % n_tiles_axis) * tw + loc % tw
+        r = jnp.clip(r, 0, h - 1)
+        c = jnp.clip(c, 0, w - 1)
+        return val, c * h + r
+
     def assign_founders(slots, covered):
-        """Fill dead slots with the best-ranked uncovered seeds."""
-        seed_covered = covered[seed_r, seed_c]
-        taken = jnp.zeros((s,), bool)
-        # seeds already owning an alive slot must not found twice
-        alive_seed = jnp.where(slots.alive, slots.seed_idx, -1)
-        for k in range(k_cap):
-            taken = taken | (seed_indices == alive_seed[k])
-        avail = seed_ok & ~seed_covered & ~taken
-        key = jnp.where(avail, seed_rank, inf_rank)
-        order = jnp.argsort(key)  # best-ranked available first
+        """Fill dead slots: best-ranked uncovered seed per distinct tile."""
+        avail_rank = jnp.where(covered, inf_rank, rank_grid)
+        cand_rank_t, cand_idx_t = tile_winners(avail_rank)
+        order = jnp.argsort(cand_rank_t)       # best tiles first
+        cand_rank = cand_rank_t[order]
+        cand_idx = cand_idx_t[order]
         # positions of free slots, in slot order
         free = ~slots.alive
         free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1  # idx among free
-        cand_rank = key[order]
-        cand_idx = seed_indices[order]
-        take = free & (free_pos < s)
-        pick = jnp.clip(free_pos, 0, s - 1)
-        new_seed = jnp.where(take, cand_idx[pick], slots.seed_idx)
-        new_rank = jnp.where(take & (cand_rank[pick] < inf_rank),
-                             cand_rank[pick], slots.rank)
+        take = free & (free_pos < n_tiles)
+        pick = jnp.clip(free_pos, 0, n_tiles - 1)
         newly = take & (cand_rank[pick] < inf_rank)
+        new_seed = jnp.where(newly, cand_idx[pick], slots.seed_idx)
+        new_rank = jnp.where(newly, cand_rank[pick], slots.rank)
         nr = new_seed % h
         nc = jnp.clip(new_seed // h, 0, w - 1)
         npt = points[nr, nc]
@@ -471,7 +526,7 @@ def grow_planar_regions_batched(
                   .at[jnp.arange(k_cap), nr, nc].set(True))
         return _Slots(
             seed_idx=new_seed,
-            rank=jnp.where(newly, new_rank, slots.rank),
+            rank=new_rank,
             alive=slots.alive | newly,
             plane=jnp.where(newly[:, None], plane0, slots.plane),
             hint=jnp.where(newly[:, None], nnm, slots.hint),
@@ -553,24 +608,38 @@ def grow_planar_regions_batched(
             max_run=max_run)
         _, new_members = claims_of(reach, slots.rank)
         counts = jnp.sum(new_members.astype(jnp.int32), axis=(1, 2))
-        # Sequential parity: a seed claimed by a better-ranked region is
-        # skipped by the driver (segmentation.h:258-260); dissolve slots
-        # that lost their own seed pixel and release their cells so the
-        # rightful (later-popped) founders can claim them next epoch.
-        sr = slots.seed_idx % h
-        sc = jnp.clip(slots.seed_idx // h, 0, w - 1)
-        owns_seed = new_members[jnp.arange(k_cap), sr, sc]
-        alive = slots.alive & (counts > 0) & owns_seed
+        # Rank update: slot rank := best seed rank among current members.
+        # A slot that holds no seed cell at all dissolves and releases its
+        # cells (the reference never grows a region without a seed in it;
+        # a slot whose founding seed was claimed by a better-ranked region
+        # continues as the best *remaining* seed inside it — exactly the
+        # seed the sequential driver would pop for those cells next).
+        member_rank = jnp.min(
+            jnp.where(new_members, rank_grid[None], inf_rank), axis=(1, 2))
+        alive = slots.alive & (counts > 0) & (member_rank < inf_rank)
+        # re-anchor the seed cell (box center + plane reseed reference)
+        best_flat = jnp.argmin(
+            jnp.where(new_members, rank_grid[None],
+                      inf_rank).reshape(k_cap, hw), axis=1).astype(jnp.int32)
+        br = best_flat // w
+        bc = best_flat % w
+        new_seed_idx = jnp.where(alive, bc * h + br, slots.seed_idx)
         slots = slots._replace(
             members=new_members & alive[:, None, None],
-            alive=alive)
+            alive=alive,
+            rank=jnp.where(alive, member_rank, inf_rank),
+            seed_idx=new_seed_idx)
         slots, _, _ = refit(slots)
         return slots
 
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
-    # geometric radius schedule: local first (cadence emulation), global by
-    # the last epochs; covers any grid once radius > max(H, W)
+    # geometric radius schedule: local first (emulating the reference's
+    # 30-inlier re-estimation cadence — the plane re-fits while growth is
+    # still local), unbounded for the final epochs; the very last epoch
+    # floods to convergence so every slot reaches its closure (same-surface
+    # slot fragments collapse there: the best-ranked slot's flood covers
+    # the whole surface and the claims dissolve the rest).
     total_epochs = founder_epochs + refine_epochs
     radii = [radii_base * (3 ** e) for e in range(total_epochs)]
     radii[-1] = None  # final epochs unbounded
@@ -585,10 +654,8 @@ def grow_planar_regions_batched(
         slots = epoch(slots, assign=True, radius=radii[e],
                       debug_tag=f"epoch{e}" if dbg else None,
                       rounds=rounds_e)
-    slots = merge_coplanar(slots, points, tau)
-    slots, _, _ = refit(slots)
-    slots = epoch(slots, assign=True,
-                  debug_tag="post-merge" if dbg else None)
+    slots = epoch(slots, assign=True, rounds=final_rounds,
+                  debug_tag="final" if dbg else None)
 
     # final conflict-free claims + acceptance
     claim, members = claims_of(slots.members, slots.rank)
@@ -624,6 +691,6 @@ def grow_planar_regions_batched(
             s2=take(m.s2), s1=take(m.s1), w=take(m.w),
             normal_hint=take(m.normal_hint)),
         # diagnostic: qualified seeds left outside every grown region
-        overflow=jnp.any(seed_ok
-                         & ~jnp.any(members, axis=0)[seed_r, seed_c]),
+        overflow=jnp.any((rank_grid < inf_rank)
+                         & ~jnp.any(members, axis=0)),
     )
