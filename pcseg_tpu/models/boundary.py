@@ -219,51 +219,49 @@ def discontinuous_boundary(boundary, points, normals, labels, region_label,
                            rot_robot, config: PlanarRegionConfig):
     """planar_region.h:356-417: per-boundary-point geometric discontinuity
     checks against same-label 4-neighbors (the code compares same-label
-    neighbors despite its comment; replicated)."""
+    neighbors despite its comment; replicated). Vectorized over the whole
+    boundary list (the checks are pure per-pixel stencil math, SURVEY §7.7)
+    with the same f32 op order as the scalar port it replaced."""
     rows, cols = labels.shape
-    dirs4 = neighborhood(False, rows)
+    if len(boundary) == 0:
+        return set()
+    idx = np.asarray(boundary, np.int64)
+    r = idx % rows
+    c = idx // rows
     min_sq = np.float32(config.discontinuity_min_range ** 2)
     max_sq = np.float32(config.discontinuity_max_range ** 2)
-    out = set()
 
-    def at_lin(arr, idx):
-        return arr[idx % rows, idx // rows]
-
-    for idx in boundary:
-        p = at_lin(points, idx).astype(np.float32)
-        sq = np.float32(np.sum(p * p))
-        if not (min_sq < sq < max_sq):
-            continue
-        n_inb = 0
-        for d in dirs4:
-            x = idx // rows + d[0]
-            y = idx % rows + d[1]
-            if 0 <= x < cols and 0 <= y < rows:
-                n_inb += 1
-        if n_inb != 4:  # kNSkipCycles (planar_region.h:368-371)
-            continue
-        for d in dirs4:
-            nb = idx + d[2]
-            pn = at_lin(points, nb)
-            if math.isnan(float(p[2])) or math.isnan(float(pn[2])):
-                continue
-            if at_lin(labels, nb) != region_label:
-                continue
-            delta = (p - pn).astype(np.float32)
-            delta_r = rot_robot @ delta
-            cosang = float(at_lin(normals, idx) @ at_lin(normals, nb))
-            ang = (abs(math.degrees(np.arccos(np.float32(cosang))))
-                   if -1.0 <= cosang <= 1.0 else float("nan"))
-            dz = abs(float(delta_r[2]))
-            if (not math.isnan(ang)
-                    and ang < config.discontinuity_normal_angle_diff
-                    and dz < config.discontinuity_z_diff):
-                continue
-            norm = float(np.linalg.norm(delta_r))
-            if norm > 0 and dz / norm < config.discontinuity_z_ratio:
-                continue
-            out.add(int(idx))
-    return out
+    p = points[r, c].astype(np.float32)                       # [B, 3]
+    sq = np.sum(p * p, axis=-1, dtype=np.float32)
+    # kNSkipCycles: all 4 neighbors in bounds (planar_region.h:368-371)
+    cand = ((sq > min_sq) & (sq < max_sq)
+            & (r > 0) & (r < rows - 1) & (c > 0) & (c < cols - 1))
+    n_here = normals[r, c].astype(np.float32)
+    rot = rot_robot.astype(np.float32)
+    disc = np.zeros(idx.shape, bool)
+    for d_col, d_row, _ in neighborhood(False, rows):
+        rn = np.clip(r + d_row, 0, rows - 1)
+        cn = np.clip(c + d_col, 0, cols - 1)
+        pn = points[rn, cn].astype(np.float32)
+        ok = (cand
+              & ~np.isnan(p[:, 2]) & ~np.isnan(pn[:, 2])
+              & (labels[rn, cn] == region_label))
+        delta = p - pn
+        delta_r = delta @ rot.T
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosang = np.sum(n_here * normals[rn, cn].astype(np.float32),
+                            axis=-1)
+            ang = np.abs(np.degrees(np.arccos(cosang.astype(np.float32))))
+            ang = np.where((cosang >= -1.0) & (cosang <= 1.0), ang, np.nan)
+            dz = np.abs(delta_r[:, 2]).astype(np.float64)
+            smooth = (~np.isnan(ang)
+                      & (ang < config.discontinuity_normal_angle_diff)
+                      & (dz < config.discontinuity_z_diff))
+            norm = np.linalg.norm(delta_r.astype(np.float64), axis=-1)
+            shadow = (norm > 0) & (dz / np.where(norm > 0, norm, 1.0)
+                                   < config.discontinuity_z_ratio)
+        disc |= ok & ~smooth & ~shadow
+    return set(int(i) for i in idx[disc])
 
 
 @dataclasses.dataclass
@@ -323,8 +321,8 @@ def finalize_planar_regions(points, normals, device_regions,
             boundary = moore_trace(mask, start, use8=True, b_dir0=0)
         if boundary:
             if check_min_rows_and_cols(boundary, rows):
-                bpts = np.array([points[i % rows, i // rows]
-                                 for i in boundary], np.float32)
+                bidx = np.asarray(boundary, np.int64)
+                bpts = points[bidx % rows, bidx // rows].astype(np.float32)
                 hull = hostgeom.planar_convex_hull(bpts, planes[rid])
                 if len(hull) >= 3:
                     area = hostgeom.polygon_area(bpts)

@@ -89,25 +89,31 @@ class Segmenter:
     # -- device programs ----------------------------------------------------
 
     def _rank_seeds(self, points, normals):
+        """(seed_idx, seed_valid, rank_grid-or-None). The plane-support
+        finder supplies a dense rank grid (every qualifying seed, no
+        max_seeds cap — the reference's seed list is unbounded); the
+        average-normal finder emits its bounded list."""
         cfg = self.config
         if cfg.seed_method == "plane_support":
             ranked = seeds_op.seeds_from_plane_support(
                 points, normals, cfg.plane_support_seeds)
-            return ranked.indices, ranked.valid
+            return ranked.indices, ranked.valid, ranked.rank_grid
         mask = seeds_op.seeds_from_average_normals(
             normals, cfg.average_normal_seeds)
         # The list is in the reference's emit order; the growing driver pops
         # back-to-front exactly like SegmentRegions (segmentation.h:254-255).
-        return seeds_op.average_normal_seed_list(
+        idx, valid = seeds_op.average_normal_seed_list(
             mask, cfg.plane_support_seeds.max_seeds)
+        return idx, valid, None
 
-    def _grow(self, points, nrm, labels0, seed_idx, seed_valid):
+    def _grow(self, points, nrm, labels0, seed_idx, seed_valid,
+              rank_grid=None):
         cfg = self.config
         if cfg.planar.growth_mode == "batched":
             from pcseg_tpu.models import planar_batched
             return planar_batched.grow_planar_regions_batched(
                 points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
-                initial_id_offset=0)
+                initial_id_offset=0, seed_rank_grid=rank_grid)
         return planar.grow_planar_regions(
             points, nrm, labels0, seed_idx, seed_valid, cfg.planar,
             initial_id_offset=0, max_attempts=cfg.max_region_attempts)
@@ -116,11 +122,16 @@ class Segmenter:
         cfg = self.config
         nrm = normals_op.compute_normals_organized(
             points, sensor_origin, cfg.normals)
-        seed_idx, seed_valid = self._rank_seeds(points, nrm)
+        seed_idx, seed_valid, rank_grid = self._rank_seeds(points, nrm)
         if labels0 is None:
             labels0 = jnp.full(points.shape[:2], UNLABELED, jnp.int32)
-        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid)
-        return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
+        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid,
+                         rank_grid)
+        num_seeds = jnp.sum(seed_valid.astype(jnp.int32)) \
+            if rank_grid is None \
+            else jnp.sum((rank_grid < seeds_op.SEED_RANK_INF)
+                         .astype(jnp.int32))
+        return nrm, dev, num_seeds
 
     def _planar_stage_temporal_impl(self, points, sensor_origin, labels0,
                                     prev_centroids, prev_normals,
@@ -135,16 +146,26 @@ class Segmenter:
         cfg = self.config
         nrm = normals_op.compute_normals_organized(
             points, sensor_origin, cfg.normals)
-        seed_idx, seed_valid = self._rank_seeds(points, nrm)
+        seed_idx, seed_valid, rank_grid = self._rank_seeds(points, nrm)
         t_idx, t_found = seeds_op.seeds_from_last_regions(
             points, nrm, prev_centroids, prev_normals, prev_counts,
             prev_valid, geom.Pose(pose_quat, pose_trans),
             cfg.planar.max_distance_for_seed_point,
             cfg.planar.max_normal_difference_angle_for_seed_point)
-        seed_idx = jnp.concatenate([seed_idx, t_idx])
-        seed_valid = jnp.concatenate([seed_valid, t_found])
-        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid)
-        return nrm, dev, jnp.sum(seed_valid.astype(jnp.int32))
+        num_seeds = jnp.sum(t_found.astype(jnp.int32))
+        if rank_grid is None:
+            seed_idx = jnp.concatenate([seed_idx, t_idx])
+            seed_valid = jnp.concatenate([seed_valid, t_found])
+            num_seeds = num_seeds + jnp.sum(seed_valid.astype(jnp.int32))
+        else:
+            rank_grid = seeds_op.append_temporal_to_rank_grid(
+                rank_grid, t_idx, t_found)
+            # temporal cells are already < INF in the merged grid
+            num_seeds = jnp.sum(
+                (rank_grid < seeds_op.SEED_RANK_INF).astype(jnp.int32))
+        dev = self._grow(points, nrm, labels0, seed_idx, seed_valid,
+                         rank_grid)
+        return nrm, dev, num_seeds
 
     def _cluster_stage_impl(self, points, labels):
         # every point is a clustering seed, popped in ascending col-major

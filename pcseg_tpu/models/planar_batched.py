@@ -1,4 +1,4 @@
-"""Batched planar region growing — all regions concurrently, no loops.
+"""Batched planar region growing — all regions concurrently.
 
 The sequential driver (models/planar.py) replicates the reference's
 seed-by-seed semantics but serializes across regions; on TPU every
@@ -6,23 +6,22 @@ data-dependent loop iteration costs fixed overhead, so the production path
 grows **all regions at once** (the "batched variant" of SURVEY.md §7 step 5):
 
   * K = max_regions slots; each holds a founder seed, its pop-priority
-    rank, a plane, and an orientation hint.
-  * A static number of epochs; per epoch each slot floods its inlier gate
-    (|plane . p| < tau) from its current members via batched segmented-scan
-    flood fill, conflicts resolve to the best (earliest-popped) rank,
-    planes re-fit from the claimed sets with one batched eigensolve, and
-    dead slots are reassigned to the best still-uncovered seeds — so
-    regions hidden behind a dominant plane (walls behind the floor's seed
-    crowd) are discovered in the next epoch.
-  * Membership is monotone per slot (a member cell is only released when a
-    better-ranked slot claims it), mirroring the reference's
-    never-unjoin-once-accepted behavior (planar_region.h:163-184).
+    rank, a plane, a sticky orientation hint, and a member mask.
+  * Stage A: generations of gated 4-neighborhood ring dilation with
+    per-generation conflict resolution and 30-inlier-cadence refits —
+    emulating the reference's BFS-with-evolving-plane dynamics where they
+    decide growth basins.
+  * Stage B: scan-based flood-fill closure epochs under the stabilized
+    planes; dead slots are reassigned to the best still-uncovered seeds
+    each step, so regions hidden behind a dominant plane (walls behind the
+    floor's seed crowd) are discovered as coverage grows.
 
-Agreement with the sequential reference semantics is empirical (validated
->=99% on the parity suites); dense ids are assigned in rank order, which
-equals the sequential acceptance order whenever regions are disjoint.
-Everything is statically unrolled: the whole per-frame growth is one
-straight-line XLA program.
+See grow_planar_regions_batched's docstring for the full semantics map to
+segmentation.h/planar_region.h. Agreement with the sequential reference
+semantics is empirical (validated >=99% on the parity suites); dense ids
+are assigned in rank order, which equals the sequential acceptance order
+whenever regions are disjoint. The same core runs column-sharded on a
+device mesh through the GrowerBackend hooks (parallel/sharded.py).
 """
 
 from __future__ import annotations
@@ -310,6 +309,7 @@ class _Slots(NamedTuple):
     plane: jnp.ndarray      # [K, 4]
     hint: jnp.ndarray       # [K, 3] sticky normal orientation
     members: jnp.ndarray    # [K, H, W]
+    fit_count: jnp.ndarray = None  # [K] member count at the last refit
 
 
 # Rank sentinel for "not a seed" / dead slot. Strictly below int32 max so
@@ -319,90 +319,78 @@ INF_RANK = jnp.int32(2**30)
 
 
 def rank_grid_from_seed_vector(seed_indices, seed_valid, h, w,
-                               base=None, rank_offset=0):
-    """[H, W] int32 pop-rank grid from a ranked seed *vector* (the driver
-    pops back-to-front, so the LAST entry gets the best = smallest rank).
+                               w_local=None, col0=0):
+    """[H, W_local] int32 pop-rank grid from a ranked seed *vector* (the
+    driver pops back-to-front, so the LAST entry gets the best = smallest
+    rank). Temporal seeds are appended to the vector before ranking
+    (planar_region.h:516 appends, so appended seeds pop first).
 
-    ``base``: optional existing rank grid to merge into (scatter-min), used
-    to append temporal seeds (planar_region.h:516 appends to the vector, so
-    appended seeds pop first) — such callers pass ``rank_offset=-s`` so the
-    vector's ranks sit strictly below every base-grid rank.
-    """
+    ``w`` is the GLOBAL column count; ``w_local``/``col0`` carve out a
+    column shard (defaults: the whole grid)."""
+    w_local = w if w_local is None else w_local
     s = seed_indices.shape[0]
-    hw = h * w
-    rank = (s - 1) - jnp.arange(s, dtype=jnp.int32) + jnp.int32(rank_offset)
-    ok = seed_valid & (seed_indices >= 0) & (seed_indices < hw)
-    flat_cm = jnp.full((hw,), INF_RANK, jnp.int32) if base is None \
-        else jnp.swapaxes(base, 0, 1).reshape(hw)
-    flat_cm = flat_cm.at[jnp.clip(seed_indices, 0, hw - 1)].min(
-        jnp.where(ok, rank, INF_RANK))
-    return jnp.swapaxes(flat_cm.reshape(w, h), 0, 1)
+    rank = (s - 1) - jnp.arange(s, dtype=jnp.int32)
+    ok = seed_valid & (seed_indices >= 0) & (seed_indices < h * w)
+    r = seed_indices % h
+    c_local = seed_indices // h - col0
+    owned = ok & (c_local >= 0) & (c_local < w_local)
+    flat_cm = jnp.full((h * w_local,), INF_RANK, jnp.int32)
+    flat_cm = flat_cm.at[
+        jnp.clip(c_local, 0, w_local - 1) * h + r].min(
+        jnp.where(owned, rank, INF_RANK))
+    return jnp.swapaxes(flat_cm.reshape(w_local, h), 0, 1)
 
 
-def merge_coplanar(slots: _Slots, points: jnp.ndarray, tau) -> _Slots:
-    """Fuse adjacent slots growing the same physical plane.
+class GrowerBackend:
+    """Hooks that differ between the single-device grower and the
+    column-sharded one (parallel/sharded.py). The algorithm itself lives in
+    :func:`grow_planar_regions_batched` ONCE, parameterized by these —
+    single-chip and multi-chip cannot diverge.
 
-    A slot founded from a degenerate (line-like) seed neighborhood can
-    stall with an invalid fit while a sibling slot claims the rest of
-    the surface; sequentially they would be ONE region. Merge rule:
-    members touch (4-adjacency) and >=90% of one slot's members lie
-    within tau of the other's plane; groups close transitively and the
-    best (earliest-popped) rank wins — matching the sequential id.
+    Members/masks are [K, H, W_local]; all slot tables are replicated.
     """
-    k_cap, h, w = slots.members.shape
-    hw = h * w
-    dtype = points.dtype
-    inf_rank = jnp.int32(2**31 - 1)
-    mem = slots.members.reshape(k_cap, hw).astype(dtype)
-    counts = jnp.sum(mem, axis=1)
-    dil = (slots.members
-           | _shift_mask(slots.members, 1, 0)
-           | _shift_mask(slots.members, -1, 0)
-           | _shift_mask(slots.members, 0, 1)
-           | _shift_mask(slots.members, 0, -1))
-    adj = jnp.dot(dil.reshape(k_cap, hw).astype(dtype), mem.T,
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST) > 0
-    dist_all = jnp.abs(
-        jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
-                   precision=jax.lax.Precision.HIGHEST)
-        + slots.plane[:, 3][:, None, None])
-    band = (dist_all < tau).reshape(k_cap, hw).astype(dtype)
-    # in_band[a, b] = |members_a ∧ band_b|
-    in_band = jnp.dot(mem, band.T, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    frac = in_band / jnp.maximum(counts, 1.0)[:, None]
-    alive2 = slots.alive[:, None] & slots.alive[None, :]
-    link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
-    link = link | jnp.eye(k_cap, dtype=bool)
-    # transitive closure by repeated squaring: after s squarings paths
-    # of length 2^s are connected, so ceil(log2(K)) squarings close any
-    # chain among K slots (K-1 hops max). K<=64 -> 6 tiny KxK matmuls.
-    closure = link
-    for _ in range(max(1, (k_cap - 1).bit_length())):
-        closure = closure | (jnp.dot(
-            closure.astype(dtype), closure.astype(dtype),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) > 0)
-    # winner of each group: slot holding the min rank
-    grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
-                                 inf_rank), axis=1)
-    winner = jnp.argmin(jnp.where(closure, slots.rank[None, :],
-                                  inf_rank), axis=1).astype(jnp.int32)
-    is_winner = winner == jnp.arange(k_cap, dtype=jnp.int32)
-    # group membership matrix g[a, k] = winner[k] == a; members of the
-    # group OR into the winner row
-    g = (winner[None, :] == jnp.arange(k_cap,
-                                       dtype=jnp.int32)[:, None])
-    merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
-                        slots.members.astype(dtype),
-                        precision=jax.lax.Precision.HIGHEST) > 0
-    alive = slots.alive & is_winner & jnp.any(
-        merged.reshape(k_cap, hw), axis=1)
-    return slots._replace(
-        members=jnp.where(alive[:, None, None], merged, False),
-        alive=alive,
-        rank=jnp.where(alive, grp_rank, slots.rank))
+
+    w_total = None   # global column count
+    col0 = 0         # global col index of local col 0 (traced when sharded)
+
+    def psum(self, x):
+        """Sum a replicated-shape value across shards."""
+        return x
+
+    def pmin(self, x):
+        return x
+
+    def pmax(self, x):
+        return x
+
+    def flood(self, gate, src, rounds):
+        """Connected flood of src through gate (bool [K, H, W_local]),
+        across shard boundaries when sharded."""
+        return flood_fill_static(gate, src, rounds)
+
+    def dilate_rings(self, members, gate, n):
+        """n rings of gated 4-neighborhood dilation (bool [K, H, W_local]),
+        crossing shard boundaries when sharded."""
+        g = _pack_bits(gate)
+        m = _pack_bits(members & gate)
+        for _ in range(n):
+            nb = (_shift_axis(m, 1, -1, 0) | _shift_axis(m, -1, -1, 0)
+                  | _shift_axis(m, 1, -2, 0) | _shift_axis(m, -1, -2, 0))
+            m = m | (nb & g)
+        return _unpack_bits(m, members.shape[0])
+
+    def dilate4(self, members):
+        """Ungated 1-ring 4-neighborhood dilation (for adjacency tests)."""
+        return (members
+                | _shift_mask(members, 1, 0) | _shift_mask(members, -1, 0)
+                | _shift_mask(members, 0, 1) | _shift_mask(members, 0, -1))
+
+    def gather_cells(self, points, normals, lin_idx):
+        """(points [K, 3], normals [K, 3]) at global col-major ``lin_idx``."""
+        h = points.shape[0]
+        r = lin_idx % h
+        c = jnp.clip(lin_idx // h, 0, points.shape[1] - 1)
+        return points[r, c], normals[r, c]
 
 
 def grow_planar_regions_batched(
@@ -413,12 +401,12 @@ def grow_planar_regions_batched(
         seed_valid: jnp.ndarray,
         config: PlanarRegionConfig = PlanarRegionConfig(),
         initial_id_offset: int = 0,
-        flood_rounds: int = 8,
-        founder_epochs: int = 3,
-        refine_epochs: int = 1,
-        radii_base: int = 4,
+        stage_a_gens: int = 26,
+        stage_a_rings: int = 1,
+        closure_epochs: int = 2,
         seed_rank_grid: jnp.ndarray = None,
-        final_rounds: int = 64) -> PlanarRegions:
+        flood_rounds: int = 64,
+        backend: GrowerBackend = None) -> PlanarRegions:
     """Batched drop-in for grow_planar_regions (same result contract).
 
     Region identity follows the *rank grid*: every seed cell carries its
@@ -433,13 +421,56 @@ def grow_planar_regions_batched(
     reference never grows a region without a seed inside it) and its cells
     are released for re-claiming.
 
+    Growth happens in two stages that together emulate the sequential
+    BFS-with-evolving-plane dynamics (segmentation.h:252-284 +
+    planar_region.h:163-184):
+
+      * **Stage A (local generations).** Each generation dilates every
+        slot's members by a few 4-neighborhood rings *within the current
+        inlier gate*, resolves conflicts, and re-fits. Ring order equals
+        BFS order, and with only a handful of cells admitted per
+        generation, the refit cadence tracks the reference's
+        every-30th-inlier re-estimation closely — including the
+        knife-edge case where an attempt seeded on a degenerate (thin
+        strip) neighborhood escapes into the true surface only because
+        its first ~30-inlier fit does (observed on the room fixtures;
+        a fit computed later on the fully-grown strip stays degenerate).
+      * **Stage B (closure epochs).** Once the planes have stabilized,
+        scan-based flood fill completes each slot to its gate's connected
+        fixed point in O(log) passes — the cheap bulk phase.
+
+    Shared rules:
+
+      * The plane refits only while the slot holds at least
+        ``plane_model_reestimation_period`` (30) members — the reference
+        re-estimates every 30th inlier, so an attempt that never reaches 30
+        inliers grows with its *seed plane* for its whole life
+        (planar_region.h:172-177). This keeps small nearly-coplanar
+        fragments separate exactly like the sequential driver.
+      * Membership is monotone within a slot (the reference never
+        un-claims an inlier); a cell moves only when a better-ranked slot
+        claims it.
+      * The orientation hint and seed plane re-anchor to the best-ranked
+        member seed cell (the attempt's sequential founder), so the sticky
+        normal sign (plane_estimator.cc:113-126) follows the founder's
+        normal even when a slot's membership migrates between surfaces.
+
     Founders: each epoch, every dead slot is (re)assigned the best-ranked
     uncovered seed of a distinct 8x8-tile of the grid (spatial diversity —
     the top of the global ranking is typically a run of adjacent same-count
     seeds on one dominant surface, which would waste the whole slot budget
     on one region per epoch).
+
+    Rejected-attempt quarantine (segmentation.h:277-291) falls out of the
+    claims: a slot that fails the host finalize gates keeps *holding* its
+    cells through the final claims (denying them to worse-ranked slots,
+    exactly the kAlreadyExamedPoint lifecycle) and the host resets them to
+    UNLABELED afterwards.
     """
-    h, w = points.shape[0], points.shape[1]
+    bk = backend or GrowerBackend()
+    h, w = points.shape[0], points.shape[1]   # w = LOCAL column count
+    w_total = bk.w_total if bk.w_total is not None else w
+    col0 = bk.col0
     hw = h * w
     dtype = points.dtype
     k_cap = config.max_regions
@@ -450,7 +481,7 @@ def grow_planar_regions_batched(
 
     if seed_rank_grid is None:
         seed_rank_grid = rank_grid_from_seed_vector(
-            seed_indices, seed_valid, h, w)
+            seed_indices, seed_valid, h, w_total, w_local=w, col0=col0)
     # a usable seed: eligible cell with finite point+normal
     cell_ok = (eligible0
                & jnp.all(jnp.isfinite(points), axis=-1)
@@ -464,6 +495,7 @@ def grow_planar_regions_batched(
         plane=jnp.zeros((k_cap, 4), dtype),
         hint=jnp.zeros((k_cap, 3), dtype).at[:, 0].set(1.0),
         members=jnp.zeros((k_cap, h, w), bool),
+        fit_count=jnp.zeros((k_cap,), jnp.int32),
     )
 
     def claims_of(members, rank):
@@ -481,26 +513,30 @@ def grow_planar_regions_batched(
 
     # --- tile decomposition for founder diversity ---------------------------
     n_tiles_axis = 8
-    th = -(-h // n_tiles_axis)          # ceil
-    tw = -(-w // n_tiles_axis)
+    th = -(-h // n_tiles_axis)          # ceil (GLOBAL grid tiles)
+    tw = -(-w_total // n_tiles_axis)
     n_tiles = n_tiles_axis * n_tiles_axis
+    big_lin = jnp.int32(2 ** 30)
+
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0
+    tid_grid = ((rows_l // th) * n_tiles_axis + cols_g // tw).reshape(-1)
+    lin_grid = (cols_g * h + rows_l).reshape(-1)
 
     def tile_winners(avail_rank):
-        """Per 8x8 tile, the (rank, col-major index) of its best available
-        seed. Returns (winner_rank [T], winner_cm_idx [T])."""
-        padded = jnp.full((th * n_tiles_axis, tw * n_tiles_axis),
-                          inf_rank, jnp.int32)
-        padded = padded.at[:h, :w].set(avail_rank)
-        t = padded.reshape(n_tiles_axis, th, n_tiles_axis, tw)
-        t = t.transpose(0, 2, 1, 3).reshape(n_tiles, th * tw)
-        loc = jnp.argmin(t, axis=1).astype(jnp.int32)
-        val = jnp.take_along_axis(t, loc[:, None], axis=1)[:, 0]
-        ti = jnp.arange(n_tiles, dtype=jnp.int32)
-        r = (ti // n_tiles_axis) * th + loc // tw
-        c = (ti % n_tiles_axis) * tw + loc % tw
-        r = jnp.clip(r, 0, h - 1)
-        c = jnp.clip(c, 0, w - 1)
-        return val, c * h + r
+        """Per global 8x8 tile, the (rank, col-major index) of its best
+        available seed (combined across shards). Returns
+        (winner_rank [T], winner_cm_idx [T]), both replicated."""
+        flat = avail_rank.reshape(-1)
+        val = bk.pmin(jax.ops.segment_min(
+            flat, tid_grid, num_segments=n_tiles,
+            indices_are_sorted=False))
+        # the rank holder is unique (ranks are unique per cell), so the
+        # min linear index among attainers is the winner's cell
+        idx = bk.pmin(jax.ops.segment_min(
+            jnp.where(flat == val[tid_grid], lin_grid, big_lin),
+            tid_grid, num_segments=n_tiles))
+        return val, idx
 
     def assign_founders(slots, covered):
         """Fill dead slots: best-ranked uncovered seed per distinct tile."""
@@ -517,13 +553,9 @@ def grow_planar_regions_batched(
         newly = take & (cand_rank[pick] < inf_rank)
         new_seed = jnp.where(newly, cand_idx[pick], slots.seed_idx)
         new_rank = jnp.where(newly, cand_rank[pick], slots.rank)
-        nr = new_seed % h
-        nc = jnp.clip(new_seed // h, 0, w - 1)
-        npt = points[nr, nc]
-        nnm = normals[nr, nc]
+        npt, nnm = bk.gather_cells(points, normals, new_seed)
         plane0 = geom.plane_from_normal_point(nnm, npt)
-        onehot = (jnp.zeros((k_cap, h, w), bool)
-                  .at[jnp.arange(k_cap), nr, nc].set(True))
+        onehot = local_onehot(new_seed)
         return _Slots(
             seed_idx=new_seed,
             rank=new_rank,
@@ -531,6 +563,7 @@ def grow_planar_regions_batched(
             plane=jnp.where(newly[:, None], plane0, slots.plane),
             hint=jnp.where(newly[:, None], nnm, slots.hint),
             members=jnp.where(newly[:, None, None], onehot, slots.members),
+            fit_count=jnp.where(newly, 0, slots.fit_count),
         )
 
     # Per-pixel moment features: one [K, HW] x [HW, 10] matmul per refit
@@ -541,125 +574,269 @@ def grow_planar_regions_batched(
                       px, py, pz, jnp.ones_like(px)],
                      axis=-1).reshape(hw, 10)
 
-    def refit(slots):
-        """Batched plane re-fit from current members (one matmul + one
-        batched eigensolve)."""
+    def refit_moments(slots):
+        """Batched plane fit of the current members (one matmul + one
+        batched eigensolve); returns (moments, solution) without mutating
+        the slot planes — the caller applies the re-estimation cadence."""
         wts = slots.members.astype(dtype).reshape(k_cap, hw)
-        sums = jnp.dot(wts, feat, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        sums = bk.psum(jnp.dot(wts, feat,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST))
         m = plane_fit.PlaneMoments(s2=sums[:, :6], s1=sums[:, 6:9],
                                    w=sums[:, 9], normal_hint=slots.hint)
-        sol = plane_fit.solve(m)
-        # invalid fit: keep the sticky normal but recenter the offset on the
-        # new centroid, exactly like the reference's invalid branch
-        # (plane_estimator.cc:224-227)
-        recentered = geom.plane_from_normal_point(slots.hint, sol.centroid)
-        new_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
-        new_hint = jnp.where(sol.valid[:, None], sol.normal, slots.hint)
-        return slots._replace(plane=new_plane, hint=new_hint), m, sol
+        return m, plane_fit.solve(m)
 
-    rows_grid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols_grid = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    period = int(config.plane_model_reestimation_period)
 
-    def seed_box(slots, radius):
-        """[K, H, W] Chebyshev box of ``radius`` around each slot's seed —
-        the batched stand-in for the reference's 30-inlier re-estimation
-        cadence: growth stays local until the plane has re-fit on the local
-        surface, preventing a bad seed plane from flooding a slanted slab
-        across the scene in one step."""
-        if radius is None:
-            return jnp.ones((k_cap, h, w), bool)
-        sr = slots.seed_idx % h
-        sc = jnp.clip(slots.seed_idx // h, 0, w - 1)
-        return ((jnp.abs(rows_grid[None] - sr[:, None, None]) <= radius)
-                & (jnp.abs(cols_grid[None] - sc[:, None, None]) <= radius))
+    def local_onehot(lin_idx):
+        """[K, H, W_local] one-hot of global col-major cells (False on
+        shards that don't own them)."""
+        sr = lin_idx % h
+        sc = jnp.clip(lin_idx // h, 0, w_total - 1) - col0
+        owned = (sc >= 0) & (sc < w)
+        return (jnp.zeros((k_cap, h, w), bool)
+                .at[jnp.arange(k_cap), sr, jnp.clip(sc, 0, w - 1)]
+                .set(owned))
 
-    def epoch(slots, assign, radius=None, debug_tag=None, rounds=None):
+    def anchor_onehot(slots):
+        return local_onehot(slots.seed_idx)
+
+    def prelude(slots, assign, debug_tag=None):
+        """Founder assignment + conflict resolution + the per-slot inlier
+        gate; better-ranked claims (from the previous settled state) are
+        excluded from worse slots' gates — the sequential driver ran those
+        attempts first."""
         covered = jnp.any(slots.members, axis=0)
         if assign:
             slots = assign_founders(slots, covered)
         if debug_tag is not None:
-            jax.debug.print(
-                debug_tag + " ranks={r} alive={a} counts={c}",
-                r=slots.rank[:8], a=slots.alive[:8],
-                c=jnp.sum(slots.members.astype(jnp.int32),
-                          axis=(1, 2))[:8])
-        # per-slot gate; better-ranked claims are excluded from worse gates
-        claim, members = claims_of(slots.members, slots.rank)
-        claim_rank = jnp.where(claim < k_cap, slots.rank[jnp.clip(
-            claim, 0, k_cap - 1)], inf_rank)
+            import os as _os
+            track = _os.environ.get("PCSEG_DEBUG_TRACK")
+            if track is None:
+                jax.debug.print(
+                    debug_tag + " ranks={r} alive={a} counts={c}",
+                    r=slots.rank[:8], a=slots.alive[:8],
+                    c=jnp.sum(slots.members.astype(jnp.int32),
+                              axis=(1, 2))[:8])
+            else:
+                sel = slots.seed_idx == int(track)
+                cnt = jnp.sum(slots.members.astype(jnp.int32), axis=(1, 2))
+                k_t = jnp.argmax(sel)
+                jax.debug.print(
+                    debug_tag + " track found={f} slot={k} rank={r} "
+                    "count={c} fitc={fc} plane={p}",
+                    f=jnp.any(sel), k=k_t, r=slots.rank[k_t],
+                    c=cnt[k_t], fc=slots.fit_count[k_t],
+                    p=slots.plane[k_t])
+        # members are pairwise disjoint here (settle claims-trims them and
+        # founders land on uncovered cells), so the per-pixel claim rank is
+        # a plain min-reduce — no argmin / re-trim needed
+        members = slots.members
+        claim_rank = jnp.min(
+            jnp.where(members, slots.rank[:, None, None], inf_rank), axis=0)
         dist = jnp.abs(
             jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
                        precision=jax.lax.Precision.HIGHEST)
             + slots.plane[:, 3][:, None, None])
         gate = (dist < tau) & eligible0[None] \
             & (claim_rank[None] >= slots.rank[:, None, None]) \
-            & slots.alive[:, None, None] \
-            & seed_box(slots, radius)
+            & slots.alive[:, None, None]
+        # membership is monotone (the reference never un-claims an inlier):
+        # current members always conduct and stay reachable
         gate = gate | members
-        # A radius-r seed box caps every gate-true run at 2r+1 cells
-        # (members stay inside their slot's box across boxed epochs, since
-        # membership is monotone and the seed is fixed while a slot lives),
-        # so the doubling scans can stop early; boxed epochs also converge
-        # in fewer rounds (the wavefront can't wind far inside the box).
-        max_run = None if radius is None else 2 * radius + 1
-        reach = flood_fill_static(
-            gate, members, flood_rounds if rounds is None else rounds,
-            max_run=max_run)
-        _, new_members = claims_of(reach, slots.rank)
-        counts = jnp.sum(new_members.astype(jnp.int32), axis=(1, 2))
+        return slots, members, gate
+
+    def generation(slots, assign=True, debug_tag=None):
+        """Stage A: dilate by ``stage_a_rings`` 4-neighborhood rings within
+        the gate (ring order == BFS order), then refit. Runs on packed
+        bit-planes."""
+        slots, members, gate = prelude(slots, assign, debug_tag)
+        reach = bk.dilate_rings(members | anchor_onehot(slots), gate,
+                                stage_a_rings)
+        return settle(slots, reach)
+
+    rows_l2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    def seed_box(slots, radius):
+        """[K, H, W_local] Chebyshev box of ``radius`` around each slot's
+        anchor (None = whole grid), in GLOBAL coordinates."""
+        if radius is None:
+            return jnp.ones((k_cap, h, w), bool)
+        sr = slots.seed_idx % h
+        sc = jnp.clip(slots.seed_idx // h, 0, w_total - 1)
+        return ((jnp.abs(rows_l2[None] - sr[:, None, None]) <= radius)
+                & (jnp.abs(cols_g.reshape(h, w)[None]
+                           - sc[:, None, None]) <= radius))
+
+    def epoch(slots, assign, rounds, radius=None, debug_tag=None):
+        """Stage B: scan-flood from the anchor to the gate's connected
+        fixed point, optionally within a Chebyshev box of ``radius``
+        around the anchor — the closure epochs grow the box geometrically
+        with a refit between each (the reference's every-30th-inlier fit
+        keeps adapting while its wavefront advances; flooding a 10^4-cell
+        basin under one frozen plane loses the fit's drift and measurably
+        reshapes quantization-noise regions at long range). Flooding from
+        the anchor (members conduct via the gate) prunes members a
+        better-ranked slot's claims disconnected from the anchor — the
+        sequential attempt, run later in full, would never have crossed
+        the stolen corridor."""
+        slots, members, gate = prelude(slots, assign, debug_tag)
+        gate = gate & (seed_box(slots, radius) | members)
+        reach = bk.flood(gate, anchor_onehot(slots), rounds)
+        return settle(slots, reach)
+
+    def settle(slots, new_members):
+        _, new_members = claims_of(new_members, slots.rank)
+        counts = bk.psum(jnp.sum(new_members.astype(jnp.int32),
+                                 axis=(1, 2)))
         # Rank update: slot rank := best seed rank among current members.
         # A slot that holds no seed cell at all dissolves and releases its
         # cells (the reference never grows a region without a seed in it;
         # a slot whose founding seed was claimed by a better-ranked region
         # continues as the best *remaining* seed inside it — exactly the
         # seed the sequential driver would pop for those cells next).
-        member_rank = jnp.min(
-            jnp.where(new_members, rank_grid[None], inf_rank), axis=(1, 2))
+        masked_rank = jnp.where(new_members, rank_grid[None], inf_rank)
+        local_min = jnp.min(masked_rank, axis=(1, 2))
+        member_rank = bk.pmin(local_min)
         alive = slots.alive & (counts > 0) & (member_rank < inf_rank)
-        # re-anchor the seed cell (box center + plane reseed reference)
+        # re-anchor to the best-ranked member seed — the attempt's
+        # sequential founder; its normal re-anchors the sticky orientation
+        # and its (normal, point) is the attempt's init plane
         best_flat = jnp.argmin(
-            jnp.where(new_members, rank_grid[None],
-                      inf_rank).reshape(k_cap, hw), axis=1).astype(jnp.int32)
+            masked_rank.reshape(k_cap, hw), axis=1).astype(jnp.int32)
         br = best_flat // w
         bc = best_flat % w
-        new_seed_idx = jnp.where(alive, bc * h + br, slots.seed_idx)
+        # the rank holder is unique, so exactly one shard attains the
+        # global min; non-owners contribute an out-of-range sentinel
+        cand_lin = jnp.where(
+            (local_min == member_rank) & (member_rank < inf_rank),
+            (bc + col0) * h + br, jnp.int32(2 ** 30))
+        anchor_lin = bk.pmin(cand_lin)
+        new_seed_idx = jnp.where(alive, anchor_lin, slots.seed_idx)
+        # the hint only re-anchors when the founder seed changed (the slot
+        # is now a different sequential attempt); otherwise it stays the
+        # sticky last-valid normal (plane_estimator.cc:113-126)
+        anchor_changed = alive & (new_seed_idx != slots.seed_idx)
+        a_pt, a_nm = bk.gather_cells(points, normals, new_seed_idx)
+        anchor_n = jnp.where(anchor_changed[:, None], a_nm, slots.hint)
+        anchor_p = a_pt
+        seed_plane = geom.plane_from_normal_point(anchor_n, anchor_p)
         slots = slots._replace(
             members=new_members & alive[:, None, None],
             alive=alive,
             rank=jnp.where(alive, member_rank, inf_rank),
-            seed_idx=new_seed_idx)
-        slots, _, _ = refit(slots)
-        return slots
+            seed_idx=new_seed_idx,
+            hint=anchor_n,
+            plane=jnp.where(anchor_changed[:, None], seed_plane,
+                            slots.plane),
+            fit_count=jnp.where(anchor_changed, 0, slots.fit_count))
+        _, sol = refit_moments(slots)
+        # The reference re-estimates when the inlier count crosses a
+        # multiple of ``plane_model_reestimation_period`` (30)
+        # (planar_region.h:172-177): an attempt that never reaches 30
+        # inliers grows with its seed plane for its whole life, and the
+        # fit the growth uses is always one computed at a crossing —
+        # knife-edge degenerate fits (thin strips) depend on the exact
+        # crossing-time member set, so refits happen ONLY at crossings.
+        # A degenerate fit at a crossing keeps the previous (sticky)
+        # normal recentered on the member centroid
+        # (plane_estimator.cc:224-227).
+        crossing = alive & ((counts // period) > (slots.fit_count // period))
+        recentered = geom.plane_from_normal_point(slots.hint, sol.centroid)
+        fit_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
+        new_plane = jnp.where(crossing[:, None], fit_plane, slots.plane)
+        new_hint = jnp.where((crossing & sol.valid)[:, None],
+                             sol.normal, slots.hint)
+        return slots._replace(
+            plane=new_plane, hint=new_hint,
+            fit_count=jnp.where(crossing, counts, slots.fit_count))
 
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
-    # geometric radius schedule: local first (emulating the reference's
-    # 30-inlier re-estimation cadence — the plane re-fits while growth is
-    # still local), unbounded for the final epochs; the very last epoch
-    # floods to convergence so every slot reaches its closure (same-surface
-    # slot fragments collapse there: the best-ranked slot's flood covers
-    # the whole surface and the claims dissolve the rest).
-    total_epochs = founder_epochs + refine_epochs
-    radii = [radii_base * (3 ** e) for e in range(total_epochs)]
-    radii[-1] = None  # final epochs unbounded
-    if total_epochs >= 2 and radii[-2] is not None \
-            and radii[-2] < max(h, w):
-        radii[-2] = None
-    for e in range(total_epochs):
-        # boxed epochs converge in a handful of rounds (the path can't wind
-        # far inside a small box); spend the full budget only when unbounded
-        rounds_e = flood_rounds if radii[e] is None \
-            else min(flood_rounds, 4)
-        slots = epoch(slots, assign=True, radius=radii[e],
-                      debug_tag=f"epoch{e}" if dbg else None,
-                      rounds=rounds_e)
-    slots = epoch(slots, assign=True, rounds=final_rounds,
+    # Stage A: local ring growth with per-generation refits — the plane's
+    # early evolution (which decides growth basins) tracks the reference's
+    # every-30th-inlier cadence. Stage B: scan-flood closure epochs with
+    # the stabilized planes; the final epoch floods every slot to its
+    # gate's fixed point (same-surface slot fragments collapse there: the
+    # best-ranked slot's flood covers the whole surface and the claims
+    # dissolve the rest).
+    for e in range(stage_a_gens):
+        slots = generation(slots, assign=True,
+                           debug_tag=f"gen{e}" if dbg else None)
+    radius = 2 * stage_a_gens * stage_a_rings
+    radii = []
+    while radius < max(h, w_total):
+        radii.append(radius)
+        radius = (radius * 4) // 3
+    for e, r_ in enumerate(radii):
+        slots = epoch(slots, assign=True, rounds=flood_rounds,
+                      radius=r_,
+                      debug_tag=f"box{e}" if dbg else None)
+    for e in range(closure_epochs):
+        slots = epoch(slots, assign=True, rounds=flood_rounds,
+                      debug_tag=f"epoch{e}" if dbg else None)
+    slots = epoch(slots, assign=True, rounds=flood_rounds,
                   debug_tag="final" if dbg else None)
+
+    # Degenerate-attempt resolution. An attempt seeded on a thin (near
+    # collinear) neighborhood has a rank-deficient fit: the reference's
+    # every-30th-inlier re-estimation then either stays invalid (attempt
+    # stalls on its seed plane; finalize rejects it — quarantine) or goes
+    # *barely* valid through f32 rounding noise, in which case the
+    # extracted eigenvector "escapes" toward the true local surface and
+    # the attempt merges into it (observed on the room fixtures; which of
+    # the two happens is decided below the reference's own 1e-4
+    # accumulation-noise tolerance, plane_estimator_test.cc:34-36). The
+    # batched equivalent: a slot whose FINAL member set is rank-deficient
+    # (lambda_1 below a small fraction of the trace — a line, not a
+    # surface; which side of the escape/stall knife edge such an attempt
+    # lands on in the reference is decided by reduction-order noise)
+    # dissolves into the best-ranked adjacent surface slot whose plane
+    # covers >=90% of its members (the escape outcome); if no such slot
+    # exists it stays and the finalize gates reject it (the stall
+    # outcome, = quarantine).
+    _, sol_r = refit_moments(slots)
+    robust = slots.alive & sol_r.valid & (sol_r.mid_ratio >= 3e-3)
+    dtype_ = points.dtype
+    mem_f = slots.members.astype(dtype_).reshape(k_cap, hw)
+    counts_f = jnp.maximum(bk.psum(jnp.sum(mem_f, axis=1)), 1.0)
+    dil = bk.dilate4(slots.members)
+    adj = bk.psum(jnp.dot(dil.reshape(k_cap, hw).astype(dtype_), mem_f.T,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)) > 0
+    dist_all = jnp.abs(
+        jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points,
+                   precision=jax.lax.Precision.HIGHEST)
+        + slots.plane[:, 3][:, None, None])
+    band = (dist_all < tau).reshape(k_cap, hw).astype(dtype_)
+    # cover[l, w] = fraction of loser l's members within tau of winner
+    # w's plane
+    cover = bk.psum(jnp.dot(
+        mem_f, band.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)) / counts_f[:, None]
+    loser = slots.alive & ~robust
+    winner_ok = robust
+    pair = (loser[:, None] & winner_ok[None, :] & adj
+            & (cover >= 0.9))
+    win = jnp.argmin(jnp.where(pair, slots.rank[None, :], inf_rank),
+                     axis=1).astype(jnp.int32)
+    has_win = jnp.any(pair, axis=1)
+    # losers' members transfer to their winner; losers die
+    transfer = (win[None, :] == jnp.arange(k_cap, dtype=jnp.int32)[:, None])
+    gained = jnp.einsum(
+        "ak,kxy->axy",
+        (transfer & has_win[None, :]).astype(dtype_),
+        slots.members.astype(dtype_),
+        precision=jax.lax.Precision.HIGHEST) > 0
+    slots = slots._replace(
+        members=jnp.where(winner_ok[:, None, None],
+                          slots.members | gained, slots.members)
+        & ~(loser & has_win)[:, None, None],
+        alive=slots.alive & ~(loser & has_win))
 
     # final conflict-free claims + acceptance
     claim, members = claims_of(slots.members, slots.rank)
-    counts = jnp.sum(members.astype(jnp.int32), axis=(1, 2))
+    counts = bk.psum(jnp.sum(members.astype(jnp.int32), axis=(1, 2)))
     accepted = slots.alive & (counts >= config.min_region_inliers)
 
     # dense ids in rank order among accepted
@@ -674,15 +851,22 @@ def grow_planar_regions_batched(
     new_labels = jnp.where(claim_id >= 0, claim_id + initial_id_offset,
                            labels)
 
-    # region table in dense-id order
-    slots_f, m, sol = refit(slots)
+    # region table in dense-id order. CheckAndFinalize recomputes the plane
+    # from the estimator unconditionally (planar_region.h:195-196), so the
+    # reported plane is the fit of the final members even below the
+    # re-estimation period; degenerate fits recenter on the member centroid
+    # with the sticky normal (plane_estimator.cc:224-227).
+    m, sol = refit_moments(slots)
+    final_plane = jnp.where(
+        sol.valid[:, None], sol.plane,
+        geom.plane_from_normal_point(slots.hint, sol.centroid))
     gather = jnp.argsort(jnp.where(slot_id >= 0, slot_id, k_cap))
     def take(a):
         return a[gather]
     return PlanarRegions(
         labels=new_labels,
         num_regions=num_regions,
-        planes=take(jnp.where(sol.valid[:, None], sol.plane, slots.plane)),
+        planes=take(final_plane),
         centroids=take(sol.centroid),
         curvatures=take(sol.curvature),
         counts=take(counts),
@@ -691,6 +875,7 @@ def grow_planar_regions_batched(
             s2=take(m.s2), s1=take(m.s1), w=take(m.w),
             normal_hint=take(m.normal_hint)),
         # diagnostic: qualified seeds left outside every grown region
-        overflow=jnp.any((rank_grid < inf_rank)
-                         & ~jnp.any(members, axis=0)),
+        overflow=bk.psum(jnp.sum(
+            ((rank_grid < inf_rank) & ~jnp.any(members, axis=0))
+            .astype(jnp.int32))) > 0,
     )

@@ -133,6 +133,13 @@ class PlaneSolution(NamedTuple):
     curvature: jnp.ndarray  # [...]
     valid: jnp.ndarray      # [...] bool
     normal: jnp.ndarray     # [..., 3] convenience alias of plane[..., :3]
+    # middle-eigenvalue fraction lambda_1 / trace: ~0 for a rank-deficient
+    # (collinear) point set, O(0.01..0.5) for a genuine 2-D surface patch.
+    # The reference's FLT_MIN validity gate sits *inside* f32 rounding
+    # noise for collinear sets (its own tests call collinear fits invalid,
+    # plane_estimator_test.cc:76-144, yet rounding can produce a "valid"
+    # noise-direction fit) — this ratio is the noise-robust classifier.
+    mid_ratio: jnp.ndarray = None
 
 
 def solve(m: PlaneMoments) -> PlaneSolution:
@@ -156,9 +163,13 @@ def solve(m: PlaneMoments) -> PlaneSolution:
     lam0 = evals[..., 0]
     curv_ok = (trace > lam0) & (lam0 > geom.FLT_MIN) & valid
     curvature = jnp.where(curv_ok, jnp.abs(lam0 / jnp.where(trace != 0, trace, 1.0)), 0.0)
+    mid_ratio = jnp.where(trace > 0,
+                          evals[..., 1] / jnp.where(trace > 0, trace, 1.0),
+                          0.0)
 
     return PlaneSolution(plane=plane, centroid=centroid,
-                         curvature=curvature, valid=valid, normal=normal)
+                         curvature=curvature, valid=valid, normal=normal,
+                         mid_ratio=mid_ratio)
 
 
 def transform(m: PlaneMoments, pose: geom.Pose) -> PlaneMoments:

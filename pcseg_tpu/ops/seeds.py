@@ -154,6 +154,12 @@ class RankedSeeds(NamedTuple):
     indices: jnp.ndarray  # [max_seeds] int32 col-major linear indices
     valid: jnp.ndarray    # [max_seeds] bool
     count: jnp.ndarray    # [H, W] int32 support counts (diagnostic)
+    # [H, W] int32 dense pop-priority grid covering EVERY qualifying seed
+    # (smaller = popped earlier); INF (2^30) where not a seed. The batched
+    # grower consumes this directly — unlike the top-``max_seeds`` vector
+    # it cannot starve low-ranked seeds on large grids (the reference's
+    # seed list is unbounded, segmentation.h:200-229).
+    rank_grid: jnp.ndarray = None
 
 
 def plane_support_counts(points, normals, params):
@@ -193,6 +199,50 @@ def rank_plane_support_seeds(count, qualifies, h, w, max_seeds):
     valid = key[order] >= 0
     indices = lin_idx.reshape(-1)[order]
     return jnp.where(valid, indices, 0), valid
+
+
+SEED_RANK_INF = jnp.int32(2 ** 30)  # == models.planar_batched.INF_RANK
+
+
+def plane_support_rank_grid(count, qualifies, h, w, cmax):
+    """Dense [H, W] pop-priority grid from the support counts — every
+    qualifying cell gets a unique rank, strictly monotone in the
+    reference's pop order (count desc, col-major lin desc; the multimap is
+    ascending and the driver pops back-to-front, segmentation.h:200-229,
+    254-255). No ``max_seeds`` truncation: on VGA grids the reference's
+    seed list holds ~3*10^5 entries and regions seeded near its bottom are
+    real (observed: a 3k-point far-floor region at rank ~2.6*10^5).
+
+    ``count``/``qualifies`` may be in the transposed-parity layout — the
+    iota math emits the same col-major index either way (on square grids;
+    see seeds_from_plane_support) and the result is scattered into the
+    natural [H, W] grid. int32-safe while (cmax+1) * H * W < 2^30.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, count.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, count.shape, 1)
+    lin_idx = cols * h + rows
+    hw = h * w
+    rank = (cmax - count) * hw + (hw - 1 - lin_idx)
+    flat_cm = jnp.full((hw,), SEED_RANK_INF, jnp.int32)
+    flat_cm = flat_cm.at[jnp.clip(lin_idx, 0, hw - 1).reshape(-1)].min(
+        jnp.where(qualifies, rank, SEED_RANK_INF).reshape(-1))
+    return jnp.swapaxes(flat_cm.reshape(w, h), 0, 1)
+
+
+def append_temporal_to_rank_grid(rank_grid, t_idx, t_found):
+    """Scatter temporal seeds into a rank grid with ranks below every
+    per-frame seed's: the reference APPENDS them to the vector
+    (planar_region.h:516) and the driver pops back-to-front, so the last
+    appended pops first."""
+    h, w = rank_grid.shape
+    hw = h * w
+    t = t_idx.shape[0]
+    rank = -(jnp.arange(t, dtype=jnp.int32) + 1)  # t[i] -> -(i + 1)
+    ok = t_found & (t_idx >= 0) & (t_idx < hw)
+    flat_cm = jnp.swapaxes(rank_grid, 0, 1).reshape(hw)
+    flat_cm = flat_cm.at[jnp.clip(t_idx, 0, hw - 1)].min(
+        jnp.where(ok, rank, SEED_RANK_INF))
+    return jnp.swapaxes(flat_cm.reshape(w, h), 0, 1)
 
 
 def seeds_from_last_regions(points, normals, prev_centroids, prev_normals,
@@ -268,7 +318,8 @@ def seeds_from_plane_support(
     if h < params.neighborhood_size or w < params.neighborhood_size:
         return RankedSeeds(jnp.zeros((max_seeds,), jnp.int32),
                            jnp.zeros((max_seeds,), bool),
-                           jnp.zeros((h, w), jnp.int32))
+                           jnp.zeros((h, w), jnp.int32),
+                           jnp.full((h, w), SEED_RANK_INF, jnp.int32))
 
     if transposed_parity:
         pt = jnp.swapaxes(points, 0, 1)   # [W, H, 3]
@@ -284,5 +335,8 @@ def seeds_from_plane_support(
     # either way.
     indices, valid = rank_plane_support_seeds(
         count, qualifies, h, w, max_seeds)
+    rank_grid = plane_support_rank_grid(
+        count, qualifies, h, w, cmax=params.neighborhood_size ** 2 + 1)
     count_rc = jnp.swapaxes(count, 0, 1) if transposed_parity else count
-    return RankedSeeds(indices=indices, valid=valid, count=count_rc)
+    return RankedSeeds(indices=indices, valid=valid, count=count_rc,
+                       rank_grid=rank_grid)

@@ -135,6 +135,32 @@ def sharded_plane_support_seeds(points_local, normals_local,
     return jnp.where(valid, indices, 0), valid
 
 
+def sharded_plane_support_rank_grid(points_local, normals_local,
+                                    params: SeedsFromPlaneSupportParams,
+                                    h, w, axis):
+    """Local [H, W_local] slice of the dense seed pop-priority grid
+    (ops/seeds.plane_support_rank_grid semantics, natural orientation) —
+    covers EVERY qualifying seed; no top-k truncation, no gathers."""
+    half = params.neighborhood_size // 2
+    pp = exchange_halo(points_local, half, axis, fill=jnp.nan)
+    np_ = exchange_halo(normals_local, half, axis, fill=jnp.nan)
+    count_pad, ok_pad = seeds_op.plane_support_counts(pp, np_, params)
+    count = crop_halo(count_pad, half)
+    ok = crop_halo(ok_pad, half)
+    qualifies = ok & (count >= params.min_num_support_points)
+
+    w_local = count.shape[1]
+    shard = lax.axis_index(axis)
+    rows = lax.broadcasted_iota(jnp.int32, (h, w_local), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (h, w_local), 1) \
+        + shard * w_local
+    lin = cols * h + rows
+    hw = h * w
+    cmax = params.neighborhood_size ** 2 + 1
+    rank = (cmax - count) * hw + (hw - 1 - lin)
+    return jnp.where(qualifies, rank, seeds_op.SEED_RANK_INF)
+
+
 def _ungather(gathered, h, w):
     """[n_shards, H, W_local, ...] -> [H, W, ...] (columns concatenated)."""
     moved = jnp.moveaxis(gathered, 0, 1)         # [H, n, W_local, ...]
@@ -367,299 +393,95 @@ def _sharded_flood_packed(gate, sources, axis, rounds, max_run=None,
     return pb._unpack_bits(reach, gate.shape[0])
 
 
+class _ShardedGrowerBackend:
+    """Column-sharded hooks for the unified batched grower core
+    (models/planar_batched.GrowerBackend contract): psum/pmin collectives,
+    halo-exchanging flood and ring dilation, owner-resolved cell gathers.
+    Everything replicated-shaped is identical on all shards, so the core's
+    control flow stays in lockstep."""
+
+    def __init__(self, axis, h, w_total, w_local):
+        from pcseg_tpu.models import planar_batched as pb
+        self._pb = pb
+        self.axis = axis
+        self.h = h
+        self.w_total = w_total
+        self.w_local = w_local
+        self.col0 = lax.axis_index(axis) * w_local
+
+    def psum(self, x):
+        return lax.psum(x, self.axis)
+
+    def pmin(self, x):
+        return lax.pmin(x, self.axis)
+
+    def pmax(self, x):
+        return lax.pmax(x, self.axis)
+
+    def flood(self, gate, src, rounds):
+        return _sharded_flood_packed(gate, src, self.axis, rounds)
+
+    def dilate_rings(self, members, gate, n):
+        pb = self._pb
+        g = pb._pack_bits(gate)
+        m = pb._pack_bits(members & gate)
+        for _ in range(n):
+            mp = exchange_halo(m, 1, self.axis, fill=0, axis=2)
+            nb = (mp[..., :-2] | mp[..., 2:]
+                  | pb._shift_axis(m, 1, -2, 0)
+                  | pb._shift_axis(m, -1, -2, 0))
+            m = m | (nb & g)
+        return pb._unpack_bits(m, members.shape[0])
+
+    def dilate4(self, members):
+        pb = self._pb
+        mp = exchange_halo(members, 1, self.axis, fill=False, axis=2)
+        return (members | mp[..., :-2] | mp[..., 2:]
+                | pb._shift_mask(members, 1, 0)
+                | pb._shift_mask(members, -1, 0))
+
+    def gather_cells(self, points, normals, lin_idx):
+        h = points.shape[0]
+        wl = points.shape[1]
+        r = lin_idx % h
+        c_l = jnp.clip(lin_idx // h, 0, self.w_total - 1) - self.col0
+        owned = (c_l >= 0) & (c_l < wl)
+        c_s = jnp.clip(c_l, 0, wl - 1)
+        # NaN values would poison the ownership psum; callers only gather
+        # cell_ok (finite) seeds, so zeroing is invisible
+        pt = jnp.where(owned[:, None], jnp.nan_to_num(points[r, c_s]), 0.0)
+        nm = jnp.where(owned[:, None], jnp.nan_to_num(normals[r, c_s]), 0.0)
+        return lax.psum(pt, self.axis), lax.psum(nm, self.axis)
+
+
 def sharded_grow_planar_regions_batched(
         points_local, normals_local, labels_local,
         seed_indices, seed_valid,
         config: PlanarRegionConfig,
         h, w, axis,
         initial_id_offset: int = 0,
-        flood_rounds: int = 8,
-        founder_epochs: int = 3,
-        refine_epochs: int = 1,
-        radii_base: int = 8):
-    """Column-sharded port of models/planar_batched.py — the PRODUCTION
-    batched grower on a device mesh (multi-chip uses the fast path, not the
-    sequential wavefront).
+        **grower_kwargs):
+    """Column-sharded PRODUCTION batched grower: the *single* grower core
+    (models/planar_batched.grow_planar_regions_batched) run under shard_map
+    with collective hooks — single-chip and multi-chip execute the same
+    algorithm by construction. Cross-shard pieces: flood / ring dilation =
+    one-column halo exchanges, plane refits and counts = psums of the
+    moment matmul (exact — the estimator merge algebra is addition,
+    plane_estimator.cc:128-133), founder/anchor election = pmin with
+    unique-rank owner resolution.
 
-    Slot tables (seed, rank, alive, plane, hint) are replicated; member
-    masks are column shards. Cross-shard pieces: flood = one-column halo
-    exchanges (_sharded_flood_packed), plane refits = psum of the moment
-    matmul (exact — merge algebra is addition), member counts / seed
-    ownership / coplanar-merge statistics = psums. Every replicated
-    computation is identical on all shards, so the while_loops stay in
-    lockstep. Semantics mirror the single-device batched grower
-    epoch-for-epoch; see planar_batched.py for the algorithm notes.
+    Labels in the result are the LOCAL column shard; slot tables are
+    replicated. f32 reduction order differs from the single-device path
+    (per-shard partials then psum), so degenerate knife-edge fits can
+    resolve differently — the same tolerance class as the reference's own
+    accumulation-order sensitivity (plane_estimator_test.cc:34-36).
     """
     from pcseg_tpu.models import planar_batched as pb
 
-    w_local = points_local.shape[1]
-    hw_local = h * w_local
-    dtype = points_local.dtype
-    k_cap = config.max_regions
-    tau = jnp.asarray(config.max_plane_distance, dtype)
-    inf_rank = jnp.int32(2**31 - 1)
-    shard = lax.axis_index(axis)
-
-    s = seed_indices.shape[0]
-    seed_rank = (s - 1) - jnp.arange(s, dtype=jnp.int32)
-
-    eligible0 = labels_local == UNLABELED
-
-    seed_r = seed_indices % h
-    seed_c = jnp.clip(seed_indices // h, 0, w - 1)
-
-    def gather_seed(grid_local, fill=0):
-        """grid_local [H, W_local(, C)] at global seeds -> [S(, C)]."""
-        return _gather_seed_values(grid_local, seed_indices, h, w_local,
-                                   axis)
-
-    seed_pt = gather_seed(points_local * 1.0)
-    seed_nm = gather_seed(normals_local * 1.0)
-    seed_elig = gather_seed(eligible0.astype(jnp.int32)) > 0
-    seed_ok = (seed_valid & seed_elig
-               & jnp.all(jnp.isfinite(seed_nm), axis=-1)
-               & jnp.all(jnp.isfinite(seed_pt), axis=-1))
-    # NaN seed coordinates poison psums of gathered values: zero them
-    seed_pt = jnp.where(seed_ok[:, None], jnp.nan_to_num(seed_pt), 0.0)
-    seed_nm = jnp.where(seed_ok[:, None], jnp.nan_to_num(seed_nm), 0.0)
-
-    slots = pb._Slots(
-        seed_idx=jnp.zeros((k_cap,), jnp.int32),
-        rank=jnp.full((k_cap,), inf_rank),
-        alive=jnp.zeros((k_cap,), bool),
-        plane=jnp.zeros((k_cap, 4), dtype),
-        hint=jnp.zeros((k_cap, 3), dtype).at[:, 0].set(1.0),
-        members=jnp.zeros((k_cap, h, w_local), bool),
-    )
-
-    def claims_of(members, rank):
-        rank_grid = jnp.where(members, rank[:, None, None], inf_rank)
-        best = jnp.min(rank_grid, axis=0)
-        claim = jnp.argmin(rank_grid, axis=0).astype(jnp.int32)
-        claim = jnp.where(best < inf_rank, claim, k_cap)
-        new_members = members & (
-            claim[None] == jnp.arange(k_cap, dtype=jnp.int32)[:, None, None])
-        return claim, new_members
-
-    def local_cols(c_glob):
-        """global col index [K] -> (local col [K], owned [K])."""
-        c_local = c_glob - shard * w_local
-        owned = (c_local >= 0) & (c_local < w_local)
-        return jnp.clip(c_local, 0, w_local - 1), owned
-
-    def member_at_seed(members, slot_seed_idx):
-        """[K] bool: does slot k's member mask contain its own seed?"""
-        sr = slot_seed_idx % h
-        sc, owned = local_cols(jnp.clip(slot_seed_idx // h, 0, w - 1))
-        vals = members[jnp.arange(k_cap), sr, sc] & owned
-        return lax.psum(vals.astype(jnp.int32), axis) > 0
-
-    def covered_at_seeds(covered):
-        return _gather_seed_values(covered.astype(jnp.int32), seed_indices,
-                                   h, w_local, axis) > 0
-
-    def assign_founders(slots, covered):
-        seed_covered = covered_at_seeds(covered)
-        taken = jnp.zeros((s,), bool)
-        alive_seed = jnp.where(slots.alive, slots.seed_idx, -1)
-        for k in range(k_cap):
-            taken = taken | (seed_indices == alive_seed[k])
-        avail = seed_ok & ~seed_covered & ~taken
-        key = jnp.where(avail, seed_rank, inf_rank)
-        order = jnp.argsort(key)
-        free = ~slots.alive
-        free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
-        cand_rank = key[order]
-        cand_idx = seed_indices[order]
-        cand_pt = seed_pt[order]
-        cand_nm = seed_nm[order]
-        take = free & (free_pos < s)
-        pick = jnp.clip(free_pos, 0, s - 1)
-        new_seed = jnp.where(take, cand_idx[pick], slots.seed_idx)
-        newly = take & (cand_rank[pick] < inf_rank)
-        npt = cand_pt[pick]
-        nnm = cand_nm[pick]
-        plane0 = geom.plane_from_normal_point(nnm, npt)
-        nr = new_seed % h
-        nc, owned = local_cols(jnp.clip(new_seed // h, 0, w - 1))
-        onehot = (jnp.zeros((k_cap, h, w_local), bool)
-                  .at[jnp.arange(k_cap), nr, nc].set(owned))
-        return pb._Slots(
-            seed_idx=new_seed,
-            rank=jnp.where(newly, cand_rank[pick], slots.rank),
-            alive=slots.alive | newly,
-            plane=jnp.where(newly[:, None], plane0, slots.plane),
-            hint=jnp.where(newly[:, None], nnm, slots.hint),
-            members=jnp.where(newly[:, None, None], onehot, slots.members),
-        )
-
-    pts_safe = jnp.where(jnp.isfinite(points_local), points_local, 0.0)
-    px, py, pz = pts_safe[..., 0], pts_safe[..., 1], pts_safe[..., 2]
-    feat = jnp.stack([px * px, px * py, px * pz, py * py, py * pz, pz * pz,
-                      px, py, pz, jnp.ones_like(px)],
-                     axis=-1).reshape(hw_local, 10)
-
-    def refit(slots):
-        wts = slots.members.astype(dtype).reshape(k_cap, hw_local)
-        sums = jnp.dot(wts, feat, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        sums = lax.psum(sums, axis)  # exact: merge algebra is addition
-        m = plane_fit.PlaneMoments(s2=sums[:, :6], s1=sums[:, 6:9],
-                                   w=sums[:, 9], normal_hint=slots.hint)
-        sol = plane_fit.solve(m)
-        recentered = geom.plane_from_normal_point(slots.hint, sol.centroid)
-        new_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
-        new_hint = jnp.where(sol.valid[:, None], sol.normal, slots.hint)
-        return slots._replace(plane=new_plane, hint=new_hint), m, sol
-
-    rows_grid = lax.broadcasted_iota(jnp.int32, (h, w_local), 0)
-    cols_grid = lax.broadcasted_iota(jnp.int32, (h, w_local), 1) \
-        + shard * w_local
-
-    def seed_box(slots, radius):
-        if radius is None:
-            return jnp.ones((k_cap, h, w_local), bool)
-        sr = slots.seed_idx % h
-        sc = jnp.clip(slots.seed_idx // h, 0, w - 1)
-        return ((jnp.abs(rows_grid[None] - sr[:, None, None]) <= radius)
-                & (jnp.abs(cols_grid[None] - sc[:, None, None]) <= radius))
-
-    def epoch(slots, assign, radius=None, rounds=None):
-        covered = jnp.any(slots.members, axis=0)
-        if assign:
-            slots = assign_founders(slots, covered)
-        claim, members = claims_of(slots.members, slots.rank)
-        claim_rank = jnp.where(
-            claim < k_cap,
-            slots.rank[jnp.clip(claim, 0, k_cap - 1)], inf_rank)
-        dist = jnp.abs(
-            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points_local,
-                       precision=jax.lax.Precision.HIGHEST)
-            + slots.plane[:, 3][:, None, None])
-        gate = (dist < tau) & eligible0[None] \
-            & (claim_rank[None] >= slots.rank[:, None, None]) \
-            & slots.alive[:, None, None] \
-            & seed_box(slots, radius)
-        gate = gate | members
-        max_run = None if radius is None else 2 * radius + 1
-        reach = _sharded_flood_packed(
-            gate, members, axis,
-            flood_rounds if rounds is None else rounds, max_run=max_run)
-        _, new_members = claims_of(reach, slots.rank)
-        counts = lax.psum(
-            jnp.sum(new_members.astype(jnp.int32), axis=(1, 2)), axis)
-        owns_seed = member_at_seed(new_members, slots.seed_idx)
-        alive = slots.alive & (counts > 0) & owns_seed
-        slots = slots._replace(
-            members=new_members & alive[:, None, None],
-            alive=alive)
-        slots, _, _ = refit(slots)
-        return slots
-
-    def merge_coplanar_sharded(slots):
-        """pb.merge_coplanar with psum'd adjacency/in-band statistics."""
-        mem = slots.members.reshape(k_cap, hw_local).astype(dtype)
-        counts = lax.psum(jnp.sum(mem, axis=1), axis)
-        dil_local = (slots.members
-                     | pb._shift_mask(slots.members, 1, 0)
-                     | pb._shift_mask(slots.members, -1, 0)
-                     | pb._shift_mask(slots.members, 0, 1)
-                     | pb._shift_mask(slots.members, 0, -1))
-        # horizontal dilation across the shard boundary
-        padded = exchange_halo(slots.members, 1, axis, fill=False, axis=2)
-        dil = dil_local | padded[..., :-2] | padded[..., 2:]
-        adj = lax.psum(
-            jnp.dot(dil.reshape(k_cap, hw_local).astype(dtype), mem.T,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), axis) > 0
-        dist_all = jnp.abs(
-            jnp.einsum("kc,hwc->khw", slots.plane[:, :3], points_local,
-                       precision=jax.lax.Precision.HIGHEST)
-            + slots.plane[:, 3][:, None, None])
-        band = (dist_all < tau).reshape(k_cap, hw_local).astype(dtype)
-        in_band = lax.psum(
-            jnp.dot(mem, band.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST), axis)
-        frac = in_band / jnp.maximum(counts, 1.0)[:, None]
-        alive2 = slots.alive[:, None] & slots.alive[None, :]
-        link = alive2 & adj & ((frac >= 0.9) | (frac.T >= 0.9))
-        link = link | jnp.eye(k_cap, dtype=bool)
-        closure = link
-        for _ in range(max(1, (k_cap - 1).bit_length())):
-            closure = closure | (jnp.dot(
-                closure.astype(dtype), closure.astype(dtype),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) > 0)
-        grp_rank = jnp.min(jnp.where(closure, slots.rank[None, :],
-                                     inf_rank), axis=1)
-        winner = jnp.argmin(jnp.where(closure, slots.rank[None, :],
-                                      inf_rank), axis=1).astype(jnp.int32)
-        is_winner = winner == jnp.arange(k_cap, dtype=jnp.int32)
-        g = (winner[None, :] == jnp.arange(k_cap,
-                                           dtype=jnp.int32)[:, None])
-        merged = jnp.einsum("ak,khw->ahw", g.astype(dtype),
-                            slots.members.astype(dtype),
-                            precision=jax.lax.Precision.HIGHEST) > 0
-        has_any = lax.psum(
-            jnp.sum(merged.reshape(k_cap, hw_local).astype(jnp.int32),
-                    axis=1), axis) > 0
-        alive = slots.alive & is_winner & has_any
-        return slots._replace(
-            members=jnp.where(alive[:, None, None], merged, False),
-            alive=alive,
-            rank=jnp.where(alive, grp_rank, slots.rank))
-
-    total_epochs = founder_epochs + refine_epochs
-    radii = [radii_base * (3 ** e) for e in range(total_epochs)]
-    radii[-1] = None
-    if total_epochs >= 2 and radii[-2] is not None \
-            and radii[-2] < max(h, w):
-        radii[-2] = None
-    for e in range(total_epochs):
-        rounds_e = flood_rounds if radii[e] is None \
-            else min(flood_rounds, 4)
-        slots = epoch(slots, assign=True, radius=radii[e], rounds=rounds_e)
-    slots = merge_coplanar_sharded(slots)
-    slots, _, _ = refit(slots)
-    slots = epoch(slots, assign=True)
-
-    claim, members = claims_of(slots.members, slots.rank)
-    counts = lax.psum(
-        jnp.sum(members.astype(jnp.int32), axis=(1, 2)), axis)
-    accepted = slots.alive & (counts >= config.min_region_inliers)
-
-    order = jnp.argsort(jnp.where(accepted, slots.rank, inf_rank))
-    dense = jnp.cumsum(accepted[order].astype(jnp.int32)) - 1
-    slot_id = jnp.full((k_cap,), -1, jnp.int32).at[order].set(
-        jnp.where(accepted[order], dense, -1))
-    num_regions = jnp.sum(accepted.astype(jnp.int32))
-
-    claim_id = jnp.where(claim < k_cap,
-                         slot_id[jnp.clip(claim, 0, k_cap - 1)], -1)
-    new_labels = jnp.where(claim_id >= 0, claim_id + initial_id_offset,
-                           labels_local)
-
-    slots_f, m, sol = refit(slots)
-    gather = jnp.argsort(jnp.where(slot_id >= 0, slot_id, k_cap))
-
-    def take(a):
-        return a[gather]
-
-    member_any = jnp.any(members, axis=0)
-    leftover = seed_ok & ~covered_at_seeds(member_any)
-    return planar_model.PlanarRegions(
-        labels=new_labels,
-        num_regions=num_regions,
-        planes=take(jnp.where(sol.valid[:, None], sol.plane, slots.plane)),
-        centroids=take(sol.centroid),
-        curvatures=take(sol.curvature),
-        counts=take(counts),
-        seed_indices=take(slots.seed_idx),
-        moments=plane_fit.PlaneMoments(
-            s2=take(m.s2), s1=take(m.s1), w=take(m.w),
-            normal_hint=take(m.normal_hint)),
-        overflow=jnp.any(leftover),
-    )
+    bk = _ShardedGrowerBackend(axis, h, w, points_local.shape[1])
+    return pb.grow_planar_regions_batched(
+        points_local, normals_local, labels_local, seed_indices, seed_valid,
+        config, initial_id_offset, backend=bk, **grower_kwargs)
 
 
 def sharded_connected_components(points_local, eligible_local,
@@ -799,9 +621,11 @@ def build_sharded_segment_step(mesh: Mesh,
             points_local, nrm, seed_params, h, w, axis)
         labels0 = jnp.full((h, w_local), UNLABELED, jnp.int32)
         if planar_config.growth_mode == "batched":
+            rank_grid = sharded_plane_support_rank_grid(
+                points_local, nrm, seed_params, h, w, axis)
             regions = sharded_grow_planar_regions_batched(
                 points_local, nrm, labels0, seed_idx, seed_valid,
-                planar_config, h, w, axis, 0)
+                planar_config, h, w, axis, 0, seed_rank_grid=rank_grid)
         else:
             regions = sharded_grow_planar_regions(
                 points_local, nrm, labels0, seed_idx, seed_valid,

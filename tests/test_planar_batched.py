@@ -87,39 +87,6 @@ class TestBatchedGrowth:
         assert int(dev.num_regions) == 0
 
 
-class TestMergeCoplanar:
-    def test_long_chain_merges_completely(self):
-        """A >8-slot chain of adjacent coplanar fragments must collapse to
-        one region — regression for the closure depth (the old code did 3
-        squarings = 8 hops; a 12-slot chain needs ceil(log2(12)) with full
-        depth over K-1 hops)."""
-        k_cap, h, w = 16, 8, 120
-        n_chain = 12
-        pts = np.zeros((h, w, 3), np.float32)
-        pts[..., 0] = np.arange(w)[None, :] * 0.01
-        pts[..., 1] = np.arange(h)[:, None] * 0.01
-        pts[..., 2] = 1.0  # plane z = 1
-
-        members = np.zeros((k_cap, h, w), bool)
-        for k in range(n_chain):
-            members[k, :, k * 10:(k + 1) * 10] = True  # adjacent strips
-        plane = np.tile(np.array([0, 0, 1, -1], np.float32), (k_cap, 1))
-        slots = planar_batched._Slots(
-            seed_idx=jnp.arange(k_cap, dtype=jnp.int32) * 10 * h,
-            rank=jnp.arange(k_cap, dtype=jnp.int32),
-            alive=jnp.asarray(np.arange(k_cap) < n_chain),
-            plane=jnp.asarray(plane),
-            hint=jnp.tile(jnp.asarray([0.0, 0, 1]), (k_cap, 1)),
-            members=jnp.asarray(members),
-        )
-        out = planar_batched.merge_coplanar(
-            slots, jnp.asarray(pts), jnp.float32(0.05))
-        alive = np.asarray(out.alive)
-        assert alive.sum() == 1 and alive[0]
-        got = np.asarray(out.members[0])
-        assert (got == members[:n_chain].any(0)).all()
-
-
 class TestPallasFlood:
     def test_matches_xla_fixed_point(self):
         """The in-VMEM Pallas flood kernel must reach the same fixed point

@@ -58,7 +58,10 @@ class TestShardedStep:
     def test_full_step_runs_and_matches(self, mesh):
         pts, origin = room()
         normals_params = ComputeNormalsParams(max_scan_steps=8)
-        seed_params = SeedsFromPlaneSupportParams(max_seeds=1024)
+        # max_seeds >= qualifying count on this scene: the sharded step now
+        # consumes the dense (uncapped) rank grid, so the single-device
+        # comparison's seed vector must not truncate
+        seed_params = SeedsFromPlaneSupportParams(max_seeds=4096)
         planar_cfg = PlanarRegionConfig(max_regions=16)
         cluster_cfg = ClusterRegionConfig()
 
