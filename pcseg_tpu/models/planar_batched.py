@@ -751,6 +751,181 @@ def grow_planar_regions_batched(
             plane=new_plane, hint=new_hint,
             fit_count=jnp.where(crossing, counts, slots.fit_count))
 
+    # --- patch-mode stage A --------------------------------------------------
+    # Stage-A membership lives inside ball(founding anchor, span), so on
+    # large grids every per-generation tensor can be a [K, P, P] patch
+    # instead of [K, H, W] — ~(H*W)/P^2 less compute and HBM traffic (80x
+    # at VGA). Cross-slot claims stay exact through a global owner-rank
+    # grid maintained with per-slot window min-stamps (64 dynamic slices,
+    # no scatters). Results match the full-grid generations up to f32
+    # moment-sum reduction order (same tolerance class as the reference's
+    # own accumulation-order sensitivity, plane_estimator_test.cc:34-36).
+    patch = 64
+    span = stage_a_gens * stage_a_rings
+    use_patches = (backend is None and h >= patch and w >= patch
+                   and h * w >= 4 * patch * patch
+                   and patch // 2 - span - stage_a_rings >= 1)
+
+    def stage_a_patched(slots):
+        kar = jnp.arange(k_cap, dtype=jnp.int32)
+        half = patch // 2
+
+        def stamp_owner(orr, orc, mem_p, rank, alive):
+            owner = jnp.full((h, w), inf_rank, jnp.int32)
+
+            def body(k, owner):
+                win = jax.lax.dynamic_slice(owner, (orr[k], orc[k]),
+                                            (patch, patch))
+                vals = jnp.where(mem_p[k] & alive[k], rank[k], inf_rank)
+                return jax.lax.dynamic_update_slice(
+                    owner, jnp.minimum(win, vals), (orr[k], orc[k]))
+
+            return jax.lax.fori_loop(0, k_cap, body, owner)
+
+        def gather(grid, orr, orc):
+            def one(r0, c0):
+                if grid.ndim == 2:
+                    return jax.lax.dynamic_slice(grid, (r0, c0),
+                                                 (patch, patch))
+                return jax.lax.dynamic_slice(
+                    grid, (r0, c0, 0), (patch, patch, grid.shape[2]))
+            return jax.vmap(one)(orr, orc)
+
+        def gen_body(i, st):
+            slots, orr, orc, mem_p = st
+            owner = stamp_owner(orr, orc, mem_p, slots.rank, slots.alive)
+            covered = owner < inf_rank
+            # founder assignment (assign_founders minus the member grids)
+            avail_rank = jnp.where(covered, inf_rank, rank_grid)
+            cand_rank_t, cand_idx_t = tile_winners(avail_rank)
+            order = jnp.argsort(cand_rank_t)
+            cand_rank = cand_rank_t[order]
+            cand_idx = cand_idx_t[order]
+            free = ~slots.alive
+            free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
+            take = free & (free_pos < n_tiles)
+            pick = jnp.clip(free_pos, 0, n_tiles - 1)
+            newly = take & (cand_rank[pick] < inf_rank)
+            new_seed = jnp.where(newly, cand_idx[pick], slots.seed_idx)
+            nr = new_seed % h
+            nc = jnp.clip(new_seed // h, 0, w - 1)
+            npt = points[nr, nc]
+            nnm = normals[nr, nc]
+            plane0 = geom.plane_from_normal_point(nnm, npt)
+            new_or = jnp.clip(nr - half, 0, h - patch)
+            new_oc = jnp.clip(nc - half, 0, w - patch)
+            orr = jnp.where(newly, new_or, orr)
+            orc = jnp.where(newly, new_oc, orc)
+            onehot = (jnp.zeros((k_cap, patch, patch), bool)
+                      .at[kar, nr - orr, nc - orc].max(newly))
+            mem_p = jnp.where(newly[:, None, None], onehot, mem_p)
+            slots = slots._replace(
+                seed_idx=new_seed,
+                rank=jnp.where(newly, cand_rank[pick], slots.rank),
+                alive=slots.alive | newly,
+                plane=jnp.where(newly[:, None], plane0, slots.plane),
+                hint=jnp.where(newly[:, None], nnm, slots.hint),
+                fit_count=jnp.where(newly, 0, slots.fit_count))
+
+            pts_p = gather(points, orr, orc)           # [K, P, P, 3]
+            elig_p = gather(eligible0, orr, orc)
+            rank_p = gather(rank_grid, orr, orc)
+            owner_p = gather(owner, orr, orc)
+
+            dist = jnp.abs(
+                jnp.einsum("kc,kpqc->kpq", slots.plane[:, :3], pts_p,
+                           precision=jax.lax.Precision.HIGHEST)
+                + slots.plane[:, 3][:, None, None])
+            gate = (dist < tau) & elig_p \
+                & (owner_p >= slots.rank[:, None, None]) \
+                & slots.alive[:, None, None]
+            gate = gate | mem_p
+
+            ar = slots.seed_idx % h - orr
+            ac = jnp.clip(slots.seed_idx // h, 0, w - 1) - orc
+            a_ok = (ar >= 0) & (ar < patch) & (ac >= 0) & (ac < patch)
+            aoh = (jnp.zeros((k_cap, patch, patch), bool)
+                   .at[kar, jnp.clip(ar, 0, patch - 1),
+                       jnp.clip(ac, 0, patch - 1)].max(a_ok))
+            m = mem_p | (aoh & gate)
+            for _ in range(stage_a_rings):
+                nb = (_shift_mask(m, 1, 0) | _shift_mask(m, -1, 0)
+                      | _shift_mask(m, 0, 1) | _shift_mask(m, 0, -1))
+                m = m | (nb & gate)
+
+            # claims: re-stamp with the grown members, prune losers
+            owner2 = stamp_owner(orr, orc, m, slots.rank, slots.alive)
+            owner2_p = gather(owner2, orr, orc)
+            new_mem = m & (owner2_p == slots.rank[:, None, None])
+
+            counts = jnp.sum(new_mem.astype(jnp.int32), axis=(1, 2))
+            masked_rank = jnp.where(new_mem, rank_p, inf_rank)
+            member_rank = jnp.min(masked_rank, axis=(1, 2))
+            alive = slots.alive & (counts > 0) & (member_rank < inf_rank)
+            best_flat = jnp.argmin(
+                masked_rank.reshape(k_cap, patch * patch),
+                axis=1).astype(jnp.int32)
+            br = orr + best_flat // patch
+            bc = orc + best_flat % patch
+            new_seed_idx = jnp.where(alive, bc * h + br, slots.seed_idx)
+            anchor_changed = alive & (new_seed_idx != slots.seed_idx)
+            a_nm = jnp.where(anchor_changed[:, None],
+                             normals[br, bc], slots.hint)
+            seed_plane = geom.plane_from_normal_point(a_nm, points[br, bc])
+            slots = slots._replace(
+                alive=alive,
+                rank=jnp.where(alive, member_rank, inf_rank),
+                seed_idx=new_seed_idx,
+                hint=a_nm,
+                plane=jnp.where(anchor_changed[:, None], seed_plane,
+                                slots.plane),
+                fit_count=jnp.where(anchor_changed, 0, slots.fit_count))
+            new_mem = new_mem & alive[:, None, None]
+
+            # patch-local refit + re-estimation cadence (see settle)
+            pp = jnp.where(jnp.isfinite(pts_p), pts_p, 0.0)
+            qx, qy, qz = pp[..., 0], pp[..., 1], pp[..., 2]
+            feat_p = jnp.stack(
+                [qx * qx, qx * qy, qx * qz, qy * qy, qy * qz, qz * qz,
+                 qx, qy, qz, jnp.ones_like(qx)],
+                axis=-1).reshape(k_cap, patch * patch, 10)
+            wts = new_mem.reshape(k_cap, 1, patch * patch).astype(dtype)
+            sums = jnp.matmul(wts, feat_p,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)[:, 0]
+            mom = plane_fit.PlaneMoments(
+                s2=sums[:, :6], s1=sums[:, 6:9], w=sums[:, 9],
+                normal_hint=slots.hint)
+            sol = plane_fit.solve(mom)
+            crossing = alive & ((counts // period)
+                                > (slots.fit_count // period))
+            recentered = geom.plane_from_normal_point(slots.hint,
+                                                      sol.centroid)
+            fit_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
+            slots = slots._replace(
+                plane=jnp.where(crossing[:, None], fit_plane, slots.plane),
+                hint=jnp.where((crossing & sol.valid)[:, None],
+                               sol.normal, slots.hint),
+                fit_count=jnp.where(crossing, counts, slots.fit_count))
+            return slots, orr, orc, new_mem
+
+        st0 = (slots,
+               jnp.zeros((k_cap,), jnp.int32),
+               jnp.zeros((k_cap,), jnp.int32),
+               jnp.zeros((k_cap, patch, patch), bool))
+        slots, orr, orc, mem_p = jax.lax.fori_loop(
+            0, stage_a_gens, gen_body, st0)
+
+        members = jnp.zeros((k_cap, h, w), bool)
+
+        def put(k, members):
+            return jax.lax.dynamic_update_slice(
+                members, (mem_p[k] & slots.alive[k])[None],
+                (k, orr[k], orc[k]))
+
+        members = jax.lax.fori_loop(0, k_cap, put, members)
+        return slots._replace(members=members)
+
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
     # Stage A: local ring growth with per-generation refits — the plane's
@@ -760,23 +935,36 @@ def grow_planar_regions_batched(
     # gate's fixed point (same-surface slot fragments collapse there: the
     # best-ranked slot's flood covers the whole surface and the claims
     # dissolve the rest).
-    for e in range(stage_a_gens):
-        slots = generation(slots, assign=True,
-                           debug_tag=f"gen{e}" if dbg else None)
     radius = 2 * stage_a_gens * stage_a_rings
     radii = []
     while radius < max(h, w_total):
         radii.append(radius)
         radius = (radius * 4) // 3
-    for e, r_ in enumerate(radii):
-        slots = epoch(slots, assign=True, rounds=flood_rounds,
-                      radius=r_,
-                      debug_tag=f"box{e}" if dbg else None)
-    for e in range(closure_epochs):
-        slots = epoch(slots, assign=True, rounds=flood_rounds,
-                      debug_tag=f"epoch{e}" if dbg else None)
-    slots = epoch(slots, assign=True, rounds=flood_rounds,
-                  debug_tag="final" if dbg else None)
+    # closure epochs + the final epoch run unboxed (radius covers the grid)
+    radii += [max(h, w_total)] * (closure_epochs + 1)
+    if dbg:
+        for e in range(stage_a_gens):
+            slots = generation(slots, assign=True, debug_tag=f"gen{e}")
+        for e, r_ in enumerate(radii):
+            slots = epoch(slots, assign=True, rounds=flood_rounds,
+                          radius=r_, debug_tag=f"box{e}")
+    else:
+        # every generation (and every epoch) shares one compiled body —
+        # fori_loop keeps the XLA program O(1) in the schedule length
+        # (the unrolled form took minutes to compile) and on-device loop
+        # iterations are effectively free (see CLAUDE.md roofline notes)
+        if use_patches:
+            slots = stage_a_patched(slots)
+        else:
+            slots = jax.lax.fori_loop(
+                0, stage_a_gens, lambda i, s: generation(s, assign=True),
+                slots)
+        radii_arr = jnp.asarray(radii, jnp.int32)
+        slots = jax.lax.fori_loop(
+            0, len(radii),
+            lambda i, s: epoch(s, assign=True, rounds=flood_rounds,
+                               radius=radii_arr[i]),
+            slots)
 
     # Degenerate-attempt resolution. An attempt seeded on a thin (near
     # collinear) neighborhood has a rank-deficient fit: the reference's

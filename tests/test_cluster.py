@@ -130,3 +130,31 @@ class TestCanonicalFastPath:
         assert int(a.num_regions) == int(b.num_regions)
         np.testing.assert_array_equal(np.asarray(a.region_sizes),
                                       np.asarray(b.region_sizes))
+
+
+class TestPallasCCL:
+    def test_matches_xla_fixed_point(self):
+        """The in-VMEM Pallas CCL kernel must reach the same fixed point as
+        the XLA scan formulation (interpret mode on CPU)."""
+        from pcseg_tpu.ops import connectivity
+        rng = np.random.default_rng(13)
+        h, w = 48, 64
+        pts = rng.uniform(-4, 4, (h, w, 3)).astype(np.float32)
+        pts[8:20, 8:30] = rng.normal(0, 0.08, (12, 22, 3)).astype(np.float32)
+        pts[rng.random((h, w)) < 0.04] = np.nan
+        elig = np.isfinite(pts).all(-1) & (rng.random((h, w)) < 0.9)
+        thr = np.float32(1.0)
+        offsets = [(dr, dc) for dc in (-1, 0, 1) for dr in (-1, 0, 1)
+                   if (dr, dc) != (0, 0)]
+
+        want = connectivity.connected_components_scan(
+            jnp.asarray(pts), jnp.asarray(elig), thr, 1, rounds=64)
+
+        init = connectivity.colmajor_index_grid(h, w)
+        labels0 = jnp.where(jnp.asarray(elig), init, jnp.int32(h * w))
+        gate = connectivity._gate_bits(
+            jnp.asarray(pts), jnp.asarray(elig), thr, offsets)
+        got = jax.jit(lambda g, l: connectivity._ccl_pallas(
+            g, l, offsets, 64, h * w, interpret=True))(gate, labels0)
+        got = jnp.where(jnp.asarray(elig), got, jnp.int32(h * w))
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
