@@ -111,12 +111,15 @@ def segment_clusters(points: jnp.ndarray,
         region_id_by_root = jnp.where(
             accepted, jnp.cumsum(accepted.astype(jnp.int32)) - 1, -1)
         num_regions = jnp.sum(accepted.astype(jnp.int32))
-        # region sizes table: sort (dense rank, size) pairs, take the head
-        sort_key = jnp.where(accepted, region_id_by_root, inf)
-        _, sizes_sorted = jax.lax.sort((sort_key, sizes), num_keys=1)
+        # region sizes table = sizes of the first max_regions accepted roots
+        # in ascending root order: a top_k over a strictly-descending-in-root
+        # key (full-grid lax.sort was ~several ms/frame on TPU; top_k is a
+        # partial selection)
+        key = jnp.where(accepted, big - jnp.arange(hw, dtype=jnp.int32),
+                        jnp.int32(0))
+        _, top_roots = jax.lax.top_k(key, max_regions)
         region_sizes = jnp.where(
-            jnp.arange(max_regions) < num_regions,
-            sizes_sorted[:max_regions], 0)
+            jnp.arange(max_regions) < num_regions, sizes[top_roots], 0)
     else:
         # --- seed pop priorities ---------------------------------------------
         s = seed_indices.shape[0]

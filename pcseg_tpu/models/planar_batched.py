@@ -206,7 +206,7 @@ def _flood_pallas(g, reach0, rounds, max_run=None, interpret=False):
     # VMEM). Under vmap the batch becomes an extra grid dimension, keeping
     # per-program VMEM constant.
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                        memory_space=(pltpu.ANY if interpret
+                        memory_space=(pl.ANY if interpret
                                       else pltpu.VMEM))
     kwargs = {}
     if not interpret:
@@ -252,6 +252,259 @@ def _flood_call(rounds, max_run, interpret):
 # Flood implementation switch: "pallas" (in-VMEM kernel, TPU only) or
 # "xla" (while_loop over HBM-resident scans — CPU tests, fallback).
 FLOOD_IMPL = "auto"
+
+# Epoch implementation switch for the closure epochs of the batched grower:
+# "pallas" (single in-VMEM megakernel per epoch: gate build + anchor flood +
+# min-rank claims + per-slot reductions), "xla" (the settle()-based epoch —
+# CPU tests, sharded backend, K > 32), "pallas_interpret" (kernel under the
+# Pallas interpreter — CPU equivalence tests), or "auto".
+EPOCH_IMPL = "auto"
+
+
+def _use_pallas_epoch(k_cap):
+    if k_cap > 32:
+        return False
+    if EPOCH_IMPL in ("pallas", "pallas_interpret"):
+        return True
+    if EPOCH_IMPL == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
+    """One closure epoch as a single in-VMEM Pallas kernel.
+
+    The XLA epoch (prelude + flood + settle) materializes several [K, H, W]
+    f32/i32 intermediates per epoch (~200 MB of HBM traffic each at VGA);
+    this kernel keeps the whole state resident in VMEM — points (as three
+    [H, W] planes), the seed-rank grid, the eligibility mask, and the
+    packed member word — and performs, for each of the K <= 32 slots riding
+    in the bits of one uint32 grid:
+
+      1. per-pixel claim rank (min member-slot rank; members are disjoint),
+      2. the inlier gate  |plane_k . p| < tau  & eligible & not claimed by a
+         better rank & alive & Chebyshev box(anchor_k, radius), OR members,
+      3. segmented-scan flood fill from the anchor one-hots (identical
+         fixed point to _flood_pallas),
+      4. min-rank claims of the reached cells,
+      5. per-slot reductions: member count, best member seed rank, the
+         col-major index of its (unique) holder, and the 10 plane-fit
+         moment sums.
+
+    HBM traffic per epoch drops to one read of the inputs + one write of
+    the new member word (+ a few dozen scalars). Slot-table updates (alive,
+    anchor re-selection, the 30-inlier-cadence refit) happen in XLA between
+    kernel calls — they are O(K) scalar work (see _epoch_step_tpu).
+
+    Returns a callable (pts3, rank_grid, elig_i32, word, rank, alive_i32,
+    plane, anchor_r, anchor_c, radius) -> (new_word, counts, member_rank,
+    anchor_lin, moments[K, 10]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import numpy as np
+
+    inf_rank_np = np.int32(2 ** 30)
+    big_lin = np.int32(2 ** 30)
+    tau = np.float32(tau_py)
+    ones_u32 = np.uint32(0xFFFFFFFF)
+    zero_u32 = np.uint32(0)
+
+    def shift(x, d, axis, fill):
+        if d == 0:
+            return x
+        n = x.shape[axis]
+        pad = [(0, 0)] * x.ndim
+        idx = [slice(None)] * x.ndim
+        if d > 0:
+            pad[axis] = (d, 0)
+            idx[axis] = slice(0, n)
+        else:
+            pad[axis] = (0, -d)
+            idx[axis] = slice(-d, n - d)
+        return jnp.pad(x, pad, constant_values=fill)[tuple(idx)]
+
+    def seg_or(v, blocked, axis, reverse, bound):
+        b = blocked
+        d = 1
+        while d < bound:
+            s = -d if reverse else d
+            vs = shift(v, s, axis, zero_u32)
+            bs = shift(b, s, axis, ones_u32)
+            v = v | (vs & ~b)
+            b = b | bs
+            d *= 2
+        return v
+
+    def kernel(radius_ref, px_ref, py_ref, pz_ref, rank_ref, elig_ref,
+               word_ref, srank_ref, alive_ref, plane_ref, ar_ref, ac_ref,
+               oword_ref, cnt_ref, mrank_ref, alin_ref, mom_ref):
+        px = px_ref[:]
+        py = py_ref[:]
+        pz = pz_ref[:]
+        rankg = rank_ref[:]
+        elig = elig_ref[:] != 0
+        word = word_ref[:]
+        radius = radius_ref[0]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        lin = cols * np.int32(h) + rows     # global col-major index
+
+        def tree(terms, op):
+            """Balanced reduction — keeps the Mosaic dataflow graph shallow
+            (a 32-deep sequential chain here made compilation pathological)."""
+            while len(terms) > 1:
+                nxt = [op(terms[i], terms[i + 1])
+                       for i in range(0, len(terms) - 1, 2)]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+
+        # All k loops below are STATIC Python loops: shift amounts must be
+        # compile-time constants (a traced `word >> k` lowers to a per-epoch
+        # ~30 ms catastrophe on v5e; constant shifts are ~free).
+
+        # 1. per-pixel claim rank (members are disjoint after settle)
+        claim = tree([
+            jnp.where(((word >> np.uint32(k)) & 1) == 1,
+                      srank_ref[k], inf_rank_np)
+            for k in range(k_cap)], jnp.minimum)
+
+        # 2+3 sources: gate word + anchor-onehot word
+        gw_terms = []
+        aw_terms = []
+        for k in range(k_cap):
+            a0 = plane_ref[k, 0]
+            b0 = plane_ref[k, 1]
+            c0 = plane_ref[k, 2]
+            d0 = plane_ref[k, 3]
+            dist = jnp.abs(px * a0 + py * b0 + pz * c0 + d0)
+            ark = ar_ref[k]
+            ack = ac_ref[k]
+            inbox = (jnp.abs(rows - ark) <= radius) \
+                & (jnp.abs(cols - ack) <= radius)
+            alive_k = alive_ref[k] != 0
+            g = (dist < tau) & elig & (claim >= srank_ref[k]) \
+                & alive_k & inbox
+            mem = ((word >> np.uint32(k)) & 1) == 1
+            g = g | mem
+            anchor = (rows == ark) & (cols == ack) & g
+            gw_terms.append(g.astype(jnp.uint32) << np.uint32(k))
+            aw_terms.append(anchor.astype(jnp.uint32) << np.uint32(k))
+        gate = tree(gw_terms, jnp.bitwise_or)
+        reach0 = tree(aw_terms, jnp.bitwise_or)
+        not_g = ~gate
+
+        # 3. flood to the fixed point (same recurrence as _flood_pallas)
+        def spread(reach, axis, bound):
+            fwd = seg_or(reach, not_g, axis, False, bound)
+            bwd = seg_or(reach, not_g, axis, True, bound)
+            return (fwd | bwd) & gate
+
+        def one_round(reach):
+            reach = spread(reach, 1, w)
+            return spread(reach, 0, h)
+
+        def fcond(st):
+            reach, prev, it = st
+            return jnp.logical_and(it < rounds, jnp.any(reach != prev))
+
+        def fbody(st):
+            reach, _, it = st
+            return one_round(reach), reach, it + 1
+
+        first = one_round(reach0)
+        reach, _, _ = jax.lax.while_loop(fcond, fbody,
+                                         (first, reach0, jnp.int32(1)))
+
+        # 4. min-rank claims (alive slot ranks are unique; dead are INF and
+        # hold no reach bits)
+        best = tree([
+            jnp.where(((reach >> np.uint32(k)) & 1) == 1,
+                      srank_ref[k], inf_rank_np)
+            for k in range(k_cap)], jnp.minimum)
+        new_word = tree([
+            ((((reach >> np.uint32(k)) & 1) == 1)
+             & (best < inf_rank_np) & (best == srank_ref[k]))
+            .astype(jnp.uint32) << np.uint32(k)
+            for k in range(k_cap)], jnp.bitwise_or)
+        oword_ref[:] = new_word
+
+        # 5. per-slot reductions (independent per k — shallow graph)
+        for k in range(k_cap):
+            bit = ((new_word >> np.uint32(k)) & 1) == 1
+            cnt_ref[k] = jnp.sum(bit.astype(jnp.int32))
+            mr = jnp.min(jnp.where(bit, rankg, inf_rank_np))
+            mrank_ref[k] = mr
+            alin_ref[k] = jnp.min(
+                jnp.where(bit & (rankg == mr), lin, big_lin))
+            m = bit.astype(jnp.float32)
+            qx = jnp.where(bit, px, 0.0)
+            qy = jnp.where(bit, py, 0.0)
+            qz = jnp.where(bit, pz, 0.0)
+            mom_ref[k, 0] = jnp.sum(qx * qx)
+            mom_ref[k, 1] = jnp.sum(qx * qy)
+            mom_ref[k, 2] = jnp.sum(qx * qz)
+            mom_ref[k, 3] = jnp.sum(qy * qy)
+            mom_ref[k, 4] = jnp.sum(qy * qz)
+            mom_ref[k, 5] = jnp.sum(qz * qz)
+            mom_ref[k, 6] = jnp.sum(qx)
+            mom_ref[k, 7] = jnp.sum(qy)
+            mom_ref[k, 8] = jnp.sum(qz)
+            mom_ref[k, 9] = jnp.sum(m)
+
+    vspec = pl.BlockSpec(memory_space=(pl.ANY if interpret else pltpu.VMEM))
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.uint32),
+            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
+            jax.ShapeDtypeStruct((k_cap, 10), jnp.float32),
+        ),
+        in_specs=[sspec] + [vspec] * 6 + [sspec] * 5,
+        out_specs=(vspec, sspec, sspec, sspec, sspec),
+        interpret=interpret,
+        **kwargs,
+    )
+
+    # Under vmap (batched frames), Pallas's automatic batching would turn
+    # the SMEM slot tables into blocked 2-D SMEM arrays that Mosaic rejects;
+    # instead run the kernel sequentially over the batch — each call already
+    # fills the core (VPU-wide over the whole [H, W] grid), and on-device
+    # loop iterations are ~free (CLAUDE.md roofline).
+    @jax.custom_batching.custom_vmap
+    def vcall(radius, px, py, pz, rank_grid, elig_i32, word,
+              srank, alive_i32, plane, anchor_r, anchor_c):
+        return call(radius, px, py, pz, rank_grid, elig_i32, word,
+                    srank, alive_i32, plane, anchor_r, anchor_c)
+
+    @vcall.def_vmap
+    def _rule(axis_size, in_batched, *args):  # noqa: ANN001
+        def one(i):
+            sliced = [a[i] if b else a
+                      for a, b in zip(args, in_batched)]
+            return vcall(*sliced)
+        outs = jax.lax.map(one, jnp.arange(axis_size))
+        return outs, tuple(True for _ in range(5))
+
+    def run(pts3, rank_grid, elig_i32, word, srank, alive_i32, plane,
+            anchor_r, anchor_c, radius):
+        return vcall(jnp.asarray(radius, jnp.int32).reshape(1),
+                     pts3[0], pts3[1], pts3[2], rank_grid, elig_i32, word,
+                     srank, alive_i32, plane, anchor_r, anchor_c)
+
+    return run
 
 
 def _use_pallas():
@@ -523,10 +776,33 @@ def grow_planar_regions_batched(
     tid_grid = ((rows_l // th) * n_tiles_axis + cols_g // tw).reshape(-1)
     lin_grid = (cols_g * h + rows_l).reshape(-1)
 
+    hp = n_tiles_axis * th
+    wp = n_tiles_axis * tw
+
     def tile_winners(avail_rank):
         """Per global 8x8 tile, the (rank, col-major index) of its best
         available seed (combined across shards). Returns
         (winner_rank [T], winner_cm_idx [T]), both replicated."""
+        if backend is None:
+            # Dense path: pad the grid to tile multiples and reduce with a
+            # reshape — segment_min lowers to a scatter (and the attainer
+            # pass to a full-grid gather), measured several ms per call on
+            # v5e; this is two plain reductions.
+            def tmin(g, fill):
+                gp = jnp.pad(g, ((0, hp - h), (0, wp - w)),
+                             constant_values=fill)
+                return jnp.min(
+                    gp.reshape(n_tiles_axis, th, n_tiles_axis, tw),
+                    axis=(1, 3))
+            val_t = tmin(avail_rank, inf_rank)               # [8, 8]
+            val_b = jnp.broadcast_to(
+                val_t[:, None, :, None],
+                (n_tiles_axis, th, n_tiles_axis, tw)).reshape(hp, wp)[
+                :h, :w]
+            idx_t = tmin(jnp.where(avail_rank == val_b,
+                                   lin_grid.reshape(h, w), big_lin),
+                         big_lin)
+            return val_t.reshape(-1), idx_t.reshape(-1)
         flat = avail_rank.reshape(-1)
         val = bk.pmin(jax.ops.segment_min(
             flat, tid_grid, num_segments=n_tiles,
@@ -926,8 +1202,102 @@ def grow_planar_regions_batched(
         members = jax.lax.fori_loop(0, k_cap, put, members)
         return slots._replace(members=members)
 
+    # --- word-mode closure epochs (TPU: one Pallas megakernel per epoch) ----
+    # Same update rule as epoch()/settle() with the members kept packed as a
+    # single [H, W] uint32 word across the whole loop; per-epoch HBM traffic
+    # is one read of (points, rank grid, eligibility, word) + one write of
+    # the new word instead of the XLA path's [K, H, W] intermediates.
+    def assign_founders_word(slots, word):
+        covered = word != 0
+        avail_rank = jnp.where(covered, inf_rank, rank_grid)
+        cand_rank_t, cand_idx_t = tile_winners(avail_rank)
+        order = jnp.argsort(cand_rank_t)
+        cand_rank = cand_rank_t[order]
+        cand_idx = cand_idx_t[order]
+        free = ~slots.alive
+        free_pos = jnp.cumsum(free.astype(jnp.int32)) - 1
+        take = free & (free_pos < n_tiles)
+        pick = jnp.clip(free_pos, 0, n_tiles - 1)
+        newly = take & (cand_rank[pick] < inf_rank)
+        new_seed = jnp.where(newly, cand_idx[pick], slots.seed_idx)
+        npt, nnm = bk.gather_cells(points, normals, new_seed)
+        plane0 = geom.plane_from_normal_point(nnm, npt)
+        nr = new_seed % h
+        nc = jnp.clip(new_seed // h, 0, w - 1)
+        # founder cells are uncovered (their word bit is 0) and pairwise
+        # distinct (distinct tile winners); non-newly rows add 0 — so a
+        # scatter-add sets exactly the new founder bits
+        kbits = jnp.uint32(1) << jnp.arange(k_cap, dtype=jnp.uint32)
+        word = word.at[nr, nc].add(
+            jnp.where(newly, kbits, jnp.uint32(0)))
+        slots = slots._replace(
+            seed_idx=new_seed,
+            rank=jnp.where(newly, cand_rank[pick], slots.rank),
+            alive=slots.alive | newly,
+            plane=jnp.where(newly[:, None], plane0, slots.plane),
+            hint=jnp.where(newly[:, None], nnm, slots.hint),
+            fit_count=jnp.where(newly, 0, slots.fit_count))
+        return slots, word
+
+    def run_word_epochs(slots, radii_list):
+        interpret = EPOCH_IMPL == "pallas_interpret"
+        kern = _epoch_kernel_call(h, w, k_cap,
+                                  float(config.max_plane_distance),
+                                  int(flood_rounds), interpret)
+        pts3 = jnp.stack([points[..., 0], points[..., 1], points[..., 2]])
+        elig_i32 = eligible0.astype(jnp.int32)
+        kbits = jnp.uint32(1) << jnp.arange(k_cap, dtype=jnp.uint32)
+        radii_arr_ = jnp.asarray(radii_list, jnp.int32)
+
+        def word_epoch(i, st):
+            slots, word = st
+            slots, word = assign_founders_word(slots, word)
+            ar = slots.seed_idx % h
+            ac = jnp.clip(slots.seed_idx // h, 0, w - 1)
+            new_word, counts, member_rank, anchor_lin, mom = kern(
+                pts3, rank_grid, elig_i32, word, slots.rank,
+                slots.alive.astype(jnp.int32), slots.plane, ar, ac,
+                radii_arr_[i])
+            alive = slots.alive & (counts > 0) & (member_rank < inf_rank)
+            word = new_word & jnp.sum(
+                jnp.where(alive, kbits, jnp.uint32(0)))
+            new_seed_idx = jnp.where(alive, anchor_lin, slots.seed_idx)
+            anchor_changed = alive & (new_seed_idx != slots.seed_idx)
+            a_pt, a_nm = bk.gather_cells(points, normals, new_seed_idx)
+            anchor_n = jnp.where(anchor_changed[:, None], a_nm, slots.hint)
+            seed_plane = geom.plane_from_normal_point(anchor_n, a_pt)
+            slots = slots._replace(
+                alive=alive,
+                rank=jnp.where(alive, member_rank, inf_rank),
+                seed_idx=new_seed_idx,
+                hint=anchor_n,
+                plane=jnp.where(anchor_changed[:, None], seed_plane,
+                                slots.plane),
+                fit_count=jnp.where(anchor_changed, 0, slots.fit_count))
+            m = plane_fit.PlaneMoments(
+                s2=mom[:, :6], s1=mom[:, 6:9], w=mom[:, 9],
+                normal_hint=slots.hint)
+            sol = plane_fit.solve(m)
+            crossing = alive & ((counts // period)
+                                > (slots.fit_count // period))
+            recentered = geom.plane_from_normal_point(slots.hint,
+                                                      sol.centroid)
+            fit_plane = jnp.where(sol.valid[:, None], sol.plane, recentered)
+            slots = slots._replace(
+                plane=jnp.where(crossing[:, None], fit_plane, slots.plane),
+                hint=jnp.where((crossing & sol.valid)[:, None],
+                               sol.normal, slots.hint),
+                fit_count=jnp.where(crossing, counts, slots.fit_count))
+            return slots, word
+
+        word = _pack_bits(slots.members)[0]
+        slots, word = jax.lax.fori_loop(
+            0, len(radii_list), word_epoch, (slots, word))
+        return slots._replace(members=_unpack_bits(word[None], k_cap))
+
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
+    _skip = os.environ.get("PCSEG_GROW_SKIP", "")  # profiling knob
     # Stage A: local ring growth with per-generation refits — the plane's
     # early evolution (which decides growth basins) tracks the reference's
     # every-30th-inlier cadence. Stage B: scan-flood closure epochs with
@@ -953,18 +1323,25 @@ def grow_planar_regions_batched(
         # fori_loop keeps the XLA program O(1) in the schedule length
         # (the unrolled form took minutes to compile) and on-device loop
         # iterations are effectively free (see CLAUDE.md roofline notes)
-        if use_patches:
+        if "stagea" in _skip:
+            pass
+        elif use_patches:
             slots = stage_a_patched(slots)
         else:
             slots = jax.lax.fori_loop(
                 0, stage_a_gens, lambda i, s: generation(s, assign=True),
                 slots)
-        radii_arr = jnp.asarray(radii, jnp.int32)
-        slots = jax.lax.fori_loop(
-            0, len(radii),
-            lambda i, s: epoch(s, assign=True, rounds=flood_rounds,
-                               radius=radii_arr[i]),
-            slots)
+        if "epochs" in _skip:
+            pass
+        elif backend is None and _use_pallas_epoch(k_cap):
+            slots = run_word_epochs(slots, radii)
+        else:
+            radii_arr = jnp.asarray(radii, jnp.int32)
+            slots = jax.lax.fori_loop(
+                0, len(radii),
+                lambda i, s: epoch(s, assign=True, rounds=flood_rounds,
+                                   radius=radii_arr[i]),
+                slots)
 
     # Degenerate-attempt resolution. An attempt seeded on a thin (near
     # collinear) neighborhood has a rank-deficient fit: the reference's
@@ -983,6 +1360,18 @@ def grow_planar_regions_batched(
     # covers >=90% of its members (the escape outcome); if no such slot
     # exists it stays and the finalize gates reject it (the stall
     # outcome, = quarantine).
+    if "tail" in _skip:
+        return PlanarRegions(
+            labels=labels, num_regions=jnp.int32(0),
+            planes=slots.plane, centroids=slots.plane[:, :3],
+            curvatures=slots.rank.astype(points.dtype),
+            counts=slots.rank, seed_indices=slots.seed_idx,
+            moments=plane_fit.PlaneMoments(
+                s2=jnp.zeros((k_cap, 6), points.dtype),
+                s1=jnp.zeros((k_cap, 3), points.dtype),
+                w=jnp.zeros((k_cap,), points.dtype),
+                normal_hint=slots.hint),
+            overflow=jnp.any(slots.members))
     _, sol_r = refit_moments(slots)
     robust = slots.alive & sol_r.valid & (sol_r.mid_ratio >= 3e-3)
     dtype_ = points.dtype

@@ -120,3 +120,25 @@ class TestPallasFlood:
         got = planar_batched.flood_fill_static(
             jnp.asarray(gate), jnp.asarray(src), 64, max_run=9)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+class TestWordEpochKernel:
+    def test_matches_xla_epochs(self):
+        """The in-VMEM epoch megakernel path (packed member word + per-slot
+        reductions in one Pallas call) must reproduce the XLA epoch loop's
+        regions (interpret mode on CPU)."""
+        pts, normals = _scene(48, seed=3)
+        want_labels, _, want_dev = run_batched(pts, normals)
+        old = planar_batched.EPOCH_IMPL
+        planar_batched.EPOCH_IMPL = "pallas_interpret"
+        try:
+            got_labels, _, got_dev = run_batched(pts, normals)
+        finally:
+            planar_batched.EPOCH_IMPL = old
+        assert int(got_dev.num_regions) == int(want_dev.num_regions)
+        np.testing.assert_array_equal(np.asarray(got_labels),
+                                      np.asarray(want_labels))
+        n = int(want_dev.num_regions)
+        np.testing.assert_allclose(np.asarray(got_dev.planes)[:n],
+                                   np.asarray(want_dev.planes)[:n],
+                                   rtol=0, atol=1e-4)
