@@ -85,6 +85,8 @@ class Segmenter:
         self._planar_stage_temporal = jax.jit(self._planar_stage_temporal_impl)
         self._cluster_stage = jax.jit(self._cluster_stage_impl)
         self._forward = jax.jit(self._forward_impl)
+        self._full_stage = jax.jit(self._full_stage_impl)
+        self._full_stage_temporal = jax.jit(self._full_stage_temporal_impl)
 
     # -- device programs ----------------------------------------------------
 
@@ -166,6 +168,26 @@ class Segmenter:
         dev = self._grow(points, nrm, labels0, seed_idx, seed_valid,
                          rank_grid)
         return nrm, dev, num_seeds
+
+    def _full_stage_impl(self, points, sensor_origin, labels0):
+        """Planar stage + optimistic euclidean clustering in ONE program:
+        segment_frame reuses the cluster result whenever the host finalize
+        accepts every device-accepted region (the common case), avoiding a
+        second dispatch + label round trip (each D2H/H2D pays a fixed
+        ~25 ms relay round trip in this environment)."""
+        nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin,
+                                                      labels0)
+        cres = self._cluster_stage_impl(points, dev.labels)
+        return nrm, dev, num_seeds, cres
+
+    def _full_stage_temporal_impl(self, points, sensor_origin, labels0,
+                                  prev_centroids, prev_normals, prev_counts,
+                                  prev_valid, pose_quat, pose_trans):
+        nrm, dev, num_seeds = self._planar_stage_temporal_impl(
+            points, sensor_origin, labels0, prev_centroids, prev_normals,
+            prev_counts, prev_valid, pose_quat, pose_trans)
+        cres = self._cluster_stage_impl(points, dev.labels)
+        return nrm, dev, num_seeds, cres
 
     def _cluster_stage_impl(self, points, labels):
         # every point is a clustering seed, popped in ascending col-major
@@ -268,9 +290,16 @@ class Segmenter:
             labels0 = jnp.asarray(input_mask, jnp.int32)
         else:
             labels0 = jnp.full(points_j.shape[:2], UNLABELED, jnp.int32)
+        # Euclidean clustering rides in the SAME program as the planar stage
+        # (optimistic: valid whenever the host finalize accepts every
+        # device-accepted region) — a second dispatch + label round trip
+        # costs a fixed ~25 ms each way through the device relay.
+        dev_cluster = (cfg.run_clustering
+                       and cfg.cluster.cluster_method
+                       != ClusterMethod.MEAN_SHIFT)
+        cres = None
         if prev_regions is not None and len(prev_regions) > 0:
             cap = cfg.planar.max_regions
-            r = min(len(prev_regions), cap)
             cents = np.zeros((cap, 3), np.float32)
             norms = np.zeros((cap, 3), np.float32)
             counts = np.zeros((cap,), np.int32)
@@ -282,15 +311,28 @@ class Segmenter:
                 valid[i] = True
             pose = pose_cur_prev if pose_cur_prev is not None \
                 else geom.Pose.identity()
-            nrm, dev, num_seeds = self._planar_stage_temporal(
-                points_j, jnp.asarray(sensor_origin), labels0,
-                jnp.asarray(cents), jnp.asarray(norms), jnp.asarray(counts),
-                jnp.asarray(valid), pose.quat, pose.trans)
+            targs = (points_j, jnp.asarray(sensor_origin), labels0,
+                     jnp.asarray(cents), jnp.asarray(norms),
+                     jnp.asarray(counts), jnp.asarray(valid), pose.quat,
+                     pose.trans)
+            if dev_cluster:
+                nrm, dev, num_seeds, cres = self._full_stage_temporal(*targs)
+            else:
+                nrm, dev, num_seeds = self._planar_stage_temporal(*targs)
+        elif dev_cluster:
+            nrm, dev, num_seeds, cres = self._full_stage(
+                points_j, jnp.asarray(sensor_origin), labels0)
         else:
             nrm, dev, num_seeds = self._planar_stage(
                 points_j, jnp.asarray(sensor_origin), labels0)
         points_np = np.asarray(points, np.float32)
-        normals_np = np.asarray(nrm)
+        # ONE D2H of the whole result pytree: device_get issues every copy
+        # async before blocking, so the relay round trips overlap instead of
+        # paying ~25 ms per np.asarray/int() conversion (round 3 spent most
+        # of segment_frame's 691 ms there).
+        nrm, dev, num_seeds, cres = jax.device_get(
+            (nrm, dev, num_seeds, cres))
+        normals_np = nrm
 
         labels, records = boundary.finalize_planar_regions(
             points_np, normals_np, dev, cfg.planar, 0, rot_robot)
@@ -318,7 +360,13 @@ class Segmenter:
                 cluster_sizes = np.asarray(
                     [len(r.inlier_indices) for r in ms_regions], np.int32)
             else:
-                cres = self._cluster_stage(points_j, jnp.asarray(labels))
+                if cres is None or num_planar != int(dev.num_regions):
+                    # host finalize rejected a device-accepted region (its
+                    # cells reverted to UNLABELED and are clusterable, the
+                    # reference's quarantine-then-reset) — rerun clustering
+                    # on the corrected label grid
+                    cres = jax.device_get(self._cluster_stage(
+                        points_j, jnp.asarray(labels)))
                 cl = np.asarray(cres.labels)
                 # shift cluster ids above the planar ids
                 mask = (cl >= 0) & (labels == UNLABELED)

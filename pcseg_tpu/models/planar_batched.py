@@ -251,18 +251,33 @@ def _flood_call(rounds, max_run, interpret):
 
 # Flood implementation switch: "pallas" (in-VMEM kernel, TPU only) or
 # "xla" (while_loop over HBM-resident scans — CPU tests, fallback).
-FLOOD_IMPL = "auto"
+# Overridable via env (PCSEG_FLOOD_IMPL) for ops/debugging; tests may also
+# assign the module globals directly.
+import os as _os
+
+FLOOD_IMPL = _os.environ.get("PCSEG_FLOOD_IMPL", "auto")
 
 # Epoch implementation switch for the closure epochs of the batched grower:
 # "pallas" (single in-VMEM megakernel per epoch: gate build + anchor flood +
 # min-rank claims + per-slot reductions), "xla" (the settle()-based epoch —
 # CPU tests, sharded backend, K > 32), "pallas_interpret" (kernel under the
 # Pallas interpreter — CPU equivalence tests), or "auto".
-EPOCH_IMPL = "auto"
+EPOCH_IMPL = _os.environ.get("PCSEG_EPOCH_IMPL", "auto")
 
 
 def _use_pallas_epoch(k_cap):
     if k_cap > 32:
+        # the packed member word has 32 bits; larger slot budgets take the
+        # XLA epoch (different perf AND f32 reduction order) — say so once
+        # instead of silently switching when a user raises max_regions
+        if EPOCH_IMPL in ("pallas", "pallas_interpret") or (
+                EPOCH_IMPL == "auto" and jax.default_backend() == "tpu"):
+            import warnings
+            warnings.warn(
+                f"max_regions={k_cap} > 32: the Pallas epoch megakernel "
+                "only supports <= 32 slots; falling back to the XLA epoch "
+                "path (slower; f32 sums reduce in a different order)",
+                stacklevel=3)
         return False
     if EPOCH_IMPL in ("pallas", "pallas_interpret"):
         return True
@@ -272,8 +287,10 @@ def _use_pallas_epoch(k_cap):
 
 
 @functools.lru_cache(maxsize=None)
-def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
-    """One closure epoch as a single in-VMEM Pallas kernel.
+def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
+    """One closure epoch as a single in-VMEM Pallas kernel, batched over
+    ``batch`` frames via the grid (one program per frame — per-program VMEM
+    is constant in the batch size; see _epoch_kernel_call).
 
     The XLA epoch (prelude + flood + settle) materializes several [K, H, W]
     f32/i32 intermediates per epoch (~200 MB of HBM traffic each at VGA);
@@ -295,11 +312,7 @@ def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
     HBM traffic per epoch drops to one read of the inputs + one write of
     the new member word (+ a few dozen scalars). Slot-table updates (alive,
     anchor re-selection, the 30-inlier-cadence refit) happen in XLA between
-    kernel calls — they are O(K) scalar work (see _epoch_step_tpu).
-
-    Returns a callable (pts3, rank_grid, elig_i32, word, rank, alive_i32,
-    plane, anchor_r, anchor_c, radius) -> (new_word, counts, member_rank,
-    anchor_lin, moments[K, 10]).
+    kernel calls — they are O(K) scalar work (see run_word_epochs).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -340,12 +353,16 @@ def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
     def kernel(radius_ref, px_ref, py_ref, pz_ref, rank_ref, elig_ref,
                word_ref, srank_ref, alive_ref, plane_ref, ar_ref, ac_ref,
                oword_ref, cnt_ref, mrank_ref, alin_ref, mom_ref):
-        px = px_ref[:]
-        py = py_ref[:]
-        pz = pz_ref[:]
-        rankg = rank_ref[:]
-        elig = elig_ref[:] != 0
-        word = word_ref[:]
+        # every ref carries a leading length-1 frame-block axis; the moment
+        # sums run in f32 regardless of the points dtype (bf16 inputs would
+        # otherwise lose precision vs the XLA path's
+        # preferred_element_type=f32 matmul in refit_moments)
+        px = px_ref[0].astype(jnp.float32)
+        py = py_ref[0].astype(jnp.float32)
+        pz = pz_ref[0].astype(jnp.float32)
+        rankg = rank_ref[0]
+        elig = elig_ref[0] != 0
+        word = word_ref[0]
         radius = radius_ref[0]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -370,24 +387,24 @@ def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
         # 1. per-pixel claim rank (members are disjoint after settle)
         claim = tree([
             jnp.where(((word >> np.uint32(k)) & 1) == 1,
-                      srank_ref[k], inf_rank_np)
+                      srank_ref[0, k], inf_rank_np)
             for k in range(k_cap)], jnp.minimum)
 
         # 2+3 sources: gate word + anchor-onehot word
         gw_terms = []
         aw_terms = []
         for k in range(k_cap):
-            a0 = plane_ref[k, 0]
-            b0 = plane_ref[k, 1]
-            c0 = plane_ref[k, 2]
-            d0 = plane_ref[k, 3]
+            a0 = plane_ref[0, k, 0]
+            b0 = plane_ref[0, k, 1]
+            c0 = plane_ref[0, k, 2]
+            d0 = plane_ref[0, k, 3]
             dist = jnp.abs(px * a0 + py * b0 + pz * c0 + d0)
-            ark = ar_ref[k]
-            ack = ac_ref[k]
+            ark = ar_ref[0, k]
+            ack = ac_ref[0, k]
             inbox = (jnp.abs(rows - ark) <= radius) \
                 & (jnp.abs(cols - ack) <= radius)
-            alive_k = alive_ref[k] != 0
-            g = (dist < tau) & elig & (claim >= srank_ref[k]) \
+            alive_k = alive_ref[0, k] != 0
+            g = (dist < tau) & elig & (claim >= srank_ref[0, k]) \
                 & alive_k & inbox
             mem = ((word >> np.uint32(k)) & 1) == 1
             g = g | mem
@@ -424,83 +441,103 @@ def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
         # hold no reach bits)
         best = tree([
             jnp.where(((reach >> np.uint32(k)) & 1) == 1,
-                      srank_ref[k], inf_rank_np)
+                      srank_ref[0, k], inf_rank_np)
             for k in range(k_cap)], jnp.minimum)
         new_word = tree([
             ((((reach >> np.uint32(k)) & 1) == 1)
-             & (best < inf_rank_np) & (best == srank_ref[k]))
+             & (best < inf_rank_np) & (best == srank_ref[0, k]))
             .astype(jnp.uint32) << np.uint32(k)
             for k in range(k_cap)], jnp.bitwise_or)
-        oword_ref[:] = new_word
+        oword_ref[0] = new_word
 
         # 5. per-slot reductions (independent per k — shallow graph)
         for k in range(k_cap):
             bit = ((new_word >> np.uint32(k)) & 1) == 1
-            cnt_ref[k] = jnp.sum(bit.astype(jnp.int32))
+            cnt_ref[0, k] = jnp.sum(bit.astype(jnp.int32))
             mr = jnp.min(jnp.where(bit, rankg, inf_rank_np))
-            mrank_ref[k] = mr
-            alin_ref[k] = jnp.min(
+            mrank_ref[0, k] = mr
+            alin_ref[0, k] = jnp.min(
                 jnp.where(bit & (rankg == mr), lin, big_lin))
             m = bit.astype(jnp.float32)
             qx = jnp.where(bit, px, 0.0)
             qy = jnp.where(bit, py, 0.0)
             qz = jnp.where(bit, pz, 0.0)
-            mom_ref[k, 0] = jnp.sum(qx * qx)
-            mom_ref[k, 1] = jnp.sum(qx * qy)
-            mom_ref[k, 2] = jnp.sum(qx * qz)
-            mom_ref[k, 3] = jnp.sum(qy * qy)
-            mom_ref[k, 4] = jnp.sum(qy * qz)
-            mom_ref[k, 5] = jnp.sum(qz * qz)
-            mom_ref[k, 6] = jnp.sum(qx)
-            mom_ref[k, 7] = jnp.sum(qy)
-            mom_ref[k, 8] = jnp.sum(qz)
-            mom_ref[k, 9] = jnp.sum(m)
+            mom_ref[0, k, 0] = jnp.sum(qx * qx)
+            mom_ref[0, k, 1] = jnp.sum(qx * qy)
+            mom_ref[0, k, 2] = jnp.sum(qx * qz)
+            mom_ref[0, k, 3] = jnp.sum(qy * qy)
+            mom_ref[0, k, 4] = jnp.sum(qy * qz)
+            mom_ref[0, k, 5] = jnp.sum(qz * qz)
+            mom_ref[0, k, 6] = jnp.sum(qx)
+            mom_ref[0, k, 7] = jnp.sum(qy)
+            mom_ref[0, k, 8] = jnp.sum(qz)
+            mom_ref[0, k, 9] = jnp.sum(m)
 
-    vspec = pl.BlockSpec(memory_space=(pl.ANY if interpret else pltpu.VMEM))
-    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    def vblock(*trail):
+        return pl.BlockSpec((1,) + trail, lambda b: (b,) + (0,) * len(trail),
+                            memory_space=(pl.ANY if interpret
+                                          else pltpu.VMEM))
+
+    def sblock(*trail):
+        return pl.BlockSpec((1,) + trail, lambda b: (b,) + (0,) * len(trail),
+                            memory_space=pltpu.SMEM)
+
+    rad_spec = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
+        grid=(batch,),
         out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.uint32),
-            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
-            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
-            jax.ShapeDtypeStruct((k_cap,), jnp.int32),
-            jax.ShapeDtypeStruct((k_cap, 10), jnp.float32),
+            jax.ShapeDtypeStruct((batch, h, w), jnp.uint32),
+            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, k_cap, 10), jnp.float32),
         ),
-        in_specs=[sspec] + [vspec] * 6 + [sspec] * 5,
-        out_specs=(vspec, sspec, sspec, sspec, sspec),
+        in_specs=[rad_spec] + [vblock(h, w)] * 6
+        + [sblock(k_cap)] * 2 + [sblock(k_cap, 4)] + [sblock(k_cap)] * 2,
+        out_specs=(vblock(h, w), sblock(k_cap), sblock(k_cap),
+                   sblock(k_cap), sblock(k_cap, 10)),
         interpret=interpret,
         **kwargs,
     )
 
-    # Under vmap (batched frames), Pallas's automatic batching would turn
-    # the SMEM slot tables into blocked 2-D SMEM arrays that Mosaic rejects;
-    # instead run the kernel sequentially over the batch — each call already
-    # fills the core (VPU-wide over the whole [H, W] grid), and on-device
-    # loop iterations are ~free (CLAUDE.md roofline).
+
+@functools.lru_cache(maxsize=None)
+def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
+    """custom_vmap entry for the epoch megakernel: batched frames become a
+    Pallas grid axis (one program per frame, per-program VMEM constant in
+    the batch — the round-3 lax.map formulation landed batch-stacked state
+    in one while-body fusion and OOMed scoped VMEM at VGA)."""
+
+    def batched(radius, *args):
+        b = args[0].shape[0]
+        return _epoch_kernel_batched(h, w, k_cap, tau_py, rounds,
+                                     interpret, b)(radius, *args)
+
     @jax.custom_batching.custom_vmap
     def vcall(radius, px, py, pz, rank_grid, elig_i32, word,
               srank, alive_i32, plane, anchor_r, anchor_c):
-        return call(radius, px, py, pz, rank_grid, elig_i32, word,
-                    srank, alive_i32, plane, anchor_r, anchor_c)
+        args = (radius, px, py, pz, rank_grid, elig_i32, word,
+                srank, alive_i32, plane, anchor_r, anchor_c)
+        outs = batched(*(a[None] for a in args))
+        return tuple(o[0] for o in outs)
 
     @vcall.def_vmap
     def _rule(axis_size, in_batched, *args):  # noqa: ANN001
-        def one(i):
-            sliced = [a[i] if b else a
-                      for a, b in zip(args, in_batched)]
-            return vcall(*sliced)
-        outs = jax.lax.map(one, jnp.arange(axis_size))
+        full = [a if bt else jnp.broadcast_to(a[None],
+                                              (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched)]
+        outs = batched(*full)
         return outs, tuple(True for _ in range(5))
 
     def run(pts3, rank_grid, elig_i32, word, srank, alive_i32, plane,
             anchor_r, anchor_c, radius):
-        return vcall(jnp.asarray(radius, jnp.int32).reshape(1),
+        return vcall(jnp.asarray(radius, jnp.int32),
                      pts3[0], pts3[1], pts3[2], rank_grid, elig_i32, word,
                      srank, alive_i32, plane, anchor_r, anchor_c)
 
@@ -1259,7 +1296,7 @@ def grow_planar_regions_batched(
                 slots.alive.astype(jnp.int32), slots.plane, ar, ac,
                 radii_arr_[i])
             alive = slots.alive & (counts > 0) & (member_rank < inf_rank)
-            word = new_word & jnp.sum(
+            word = new_word & jnp.bitwise_or.reduce(
                 jnp.where(alive, kbits, jnp.uint32(0)))
             new_seed_idx = jnp.where(alive, anchor_lin, slots.seed_idx)
             anchor_changed = alive & (new_seed_idx != slots.seed_idx)
@@ -1298,6 +1335,13 @@ def grow_planar_regions_batched(
     import os
     dbg = os.environ.get("PCSEG_DEBUG_BATCHED") == "1"
     _skip = os.environ.get("PCSEG_GROW_SKIP", "")  # profiling knob
+    if _skip:
+        # read at TRACE time: a long-lived process with this set silently
+        # produces placeholder results from every jitted call — shout
+        import warnings
+        warnings.warn(
+            f"PCSEG_GROW_SKIP={_skip!r}: grower stages skipped — profiling "
+            "output only, NOT valid segmentation results", stacklevel=2)
     # Stage A: local ring growth with per-generation refits — the plane's
     # early evolution (which decides growth basins) tracks the reference's
     # every-30th-inlier cadence. Stage B: scan-flood closure epochs with

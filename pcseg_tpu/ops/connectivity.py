@@ -387,7 +387,10 @@ def _ccl_pallas(gate, labels0, offsets, rounds, big_py, interpret=False):
 
 # CCL implementation switch: "pallas" (in-VMEM kernel, TPU), "xla"
 # (while_loop over HBM-resident scans — CPU tests, fallback), "auto".
-CCL_IMPL = "auto"
+# Overridable via env (PCSEG_CCL_IMPL); tests may assign the global directly.
+import os as _os
+
+CCL_IMPL = _os.environ.get("PCSEG_CCL_IMPL", "auto")
 
 
 def _use_pallas_ccl(n_offsets):

@@ -57,12 +57,9 @@ class TestBatchedGrowth:
         got_labels, records, dev = run_batched(pts, normals, cfg)
         want_labels, want_regions = run_oracle(pts, normals)
         assert len(records) == len(want_regions)
-        # Tiny grid + tiny slot budget: marginal fragment regions may found
-        # from different seeds through a rejected-region shadow (documented
-        # batched-approximation tail); the two large planes must be exact.
         agreement = (got_labels == want_labels).mean()
-        assert agreement >= 0.98, agreement
-        for rec, want in zip(records[:2], want_regions[:2]):
+        assert agreement >= 0.99, agreement
+        for rec, want in zip(records, want_regions):
             assert rec.count == len(want.inlier_indices)
             assert abs(float(rec.plane[:3] @ want.plane[:3])) > 0.999
 
@@ -123,6 +120,68 @@ class TestPallasFlood:
 
 
 class TestWordEpochKernel:
+    def _run_vmapped(self, pts_b, nrm_b):
+        """Grower over a leading frame axis (the streaming path's shape)."""
+        def one(p, n):
+            ranked = seeds_op.seeds_from_plane_support(p, n)
+            labels0 = jnp.full(p.shape[:2], UNLABELED, jnp.int32)
+            dev = planar_batched.grow_planar_regions_batched(
+                p, n, labels0, ranked.indices, ranked.valid,
+                PlanarRegionConfig(), 0, seed_rank_grid=ranked.rank_grid)
+            return dev.labels, dev.num_regions, dev.planes
+        return jax.jit(jax.vmap(one))(jnp.asarray(pts_b), jnp.asarray(nrm_b))
+
+    def test_matches_xla_epochs_vmapped_patched_scale(self):
+        """The megakernel's batch-grid path (one Pallas program per frame)
+        must match the XLA epochs under vmap at a scale where the patched
+        stage A is active (>= 128x128; planar_batched use_patches gate) —
+        the exact impl combination that ships in device_forward_stream."""
+        scenes = [_scene(128, seed=s) for s in (3, 7)]
+        pts_b = np.stack([s[0] for s in scenes])
+        nrm_b = np.stack([s[1] for s in scenes])
+        old = planar_batched.EPOCH_IMPL
+        planar_batched.EPOCH_IMPL = "xla"
+        try:
+            want_labels, want_n, want_planes = self._run_vmapped(pts_b, nrm_b)
+        finally:
+            planar_batched.EPOCH_IMPL = old
+        planar_batched.EPOCH_IMPL = "pallas_interpret"
+        try:
+            got_labels, got_n, got_planes = self._run_vmapped(pts_b, nrm_b)
+        finally:
+            planar_batched.EPOCH_IMPL = old
+        np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+        np.testing.assert_array_equal(np.asarray(got_labels),
+                                      np.asarray(want_labels))
+        for b in range(2):
+            n = int(want_n[b])
+            np.testing.assert_allclose(np.asarray(got_planes)[b, :n],
+                                       np.asarray(want_planes)[b, :n],
+                                       rtol=0, atol=1e-4)
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="real Mosaic lowering needs a TPU")
+    def test_pallas_epoch_compiles_on_tpu(self):
+        """Run EPOCH_IMPL='pallas' through real Mosaic (2-D SMEM outputs,
+        batch grid axis, in-kernel while_loop) — the interpret tests cannot
+        catch lowering regressions (that is exactly what shipped broken in
+        round 3)."""
+        pts, normals = _scene(64, seed=3)
+        old = planar_batched.EPOCH_IMPL
+        planar_batched.EPOCH_IMPL = "xla"
+        try:
+            want_labels, _, want_dev = run_batched(pts, normals)
+        finally:
+            planar_batched.EPOCH_IMPL = old
+        planar_batched.EPOCH_IMPL = "pallas"
+        try:
+            got_labels, _, got_dev = run_batched(pts, normals)
+        finally:
+            planar_batched.EPOCH_IMPL = old
+        assert int(got_dev.num_regions) == int(want_dev.num_regions)
+        agree = (np.asarray(got_labels) == np.asarray(want_labels)).mean()
+        assert agree >= 0.999, agree
+
     def test_matches_xla_epochs(self):
         """The in-VMEM epoch megakernel path (packed member word + per-slot
         reductions in one Pallas call) must reproduce the XLA epoch loop's
