@@ -266,6 +266,122 @@ def _mode_members_impl(points, labels, seed_pos, start_lin, config,
     return r
 
 
+def _grow_all_modes_impl(points, labels0, pos, idx, valid, intensity,
+                         config, params, cap, initial_region_id_offset):
+    """ALL surviving modes grown in ONE program.
+
+    The reference's post-shift pass (mean_shift_segmentation.h:262-328) is
+    sequential over modes; the round-3 device path dispatched one jitted
+    program per attempted mode (~25 ms relay round trip each — >1.2 s for a
+    50-mode scene). Here a single while_loop walks the intensity-ascending
+    mode order on device: skipped modes (suppressed by an accepted region /
+    start pixel claimed / out of bounds) cost one ~free loop iteration, and
+    each *attempted* mode runs the same closure as _mode_members_impl under
+    a lax.cond, so only genuine attempts pay the growth compute.
+
+    Returns (labels, seeds_tab [cap, 3], counts_tab [cap], num_regions,
+    overflow) — overflow set if an attempt was suppressed only by the
+    static ``cap`` on the region table (the reference is unbounded).
+    """
+    h, w = points.shape[0], points.shape[1]
+    n = h * w
+    dtype = points.dtype
+    key = jnp.where(valid, intensity, jnp.asarray(jnp.inf, dtype))
+    order = jnp.argsort(key, stable=True)    # ascending; invalid modes last
+    n_modes = jnp.sum(valid.astype(jnp.int32))
+
+    def grow_closure(labels, seed_pos, start_lin):
+        return _mode_members_impl(points, labels, seed_pos, start_lin,
+                                  config, params)
+
+    def body(st):
+        (i, labels, suppressed, num_acc, seeds_tab, counts_tab,
+         overflow) = st
+        s = order[i]
+        r0 = jnp.round(idx[s, 0]).astype(jnp.int32)
+        c0 = jnp.round(idx[s, 1]).astype(jnp.int32)
+        inb = (r0 >= 0) & (r0 < h) & (c0 >= 0) & (c0 < w)
+        r0c = jnp.clip(r0, 0, h - 1)
+        c0c = jnp.clip(c0, 0, w - 1)
+        unclaimed = labels[r0c, c0c] == UNLABELED
+        want = (~suppressed[s]) & inb & unclaimed
+        do = want & (num_acc < cap)
+        overflow = overflow | (want & (num_acc >= cap))
+        seed_pos = pos[s]
+
+        def attempt(operand):
+            labels, suppressed, num_acc, seeds_tab, counts_tab = operand
+            members = grow_closure(labels, seed_pos, r0 * w + c0)
+            count = jnp.sum(members.astype(jnp.int32))
+            accepted = count >= config.min_region_inliers
+            label_id = num_acc + initial_region_id_offset
+            labels = jnp.where(members & accepted, label_id, labels)
+            # accepted regions suppress later modes within the centroid
+            # ball (mean_shift_segmentation.h:313-321); marking earlier
+            # (already-processed) modes too is harmless
+            d2 = jnp.sum(jnp.square(pos - seed_pos), axis=-1)
+            suppressed = suppressed | (
+                accepted & valid
+                & (d2 < params.squared_centroid_distance_threshold))
+            seeds_tab = jnp.where(
+                (jnp.arange(cap) == num_acc)[:, None] & accepted,
+                seed_pos, seeds_tab)
+            counts_tab = jnp.where(
+                (jnp.arange(cap) == num_acc) & accepted, count, counts_tab)
+            num_acc = num_acc + accepted.astype(jnp.int32)
+            return labels, suppressed, num_acc, seeds_tab, counts_tab
+
+        labels, suppressed, num_acc, seeds_tab, counts_tab = jax.lax.cond(
+            do, attempt, lambda o: o,
+            (labels, suppressed, num_acc, seeds_tab, counts_tab))
+        return (i + 1, labels, suppressed, num_acc, seeds_tab, counts_tab,
+                overflow)
+
+    st0 = (jnp.int32(0), labels0,
+           jnp.zeros((n,), bool), jnp.int32(0),
+           jnp.zeros((cap, 3), dtype), jnp.zeros((cap,), jnp.int32),
+           jnp.asarray(False))
+    st = jax.lax.while_loop(lambda st: st[0] < n_modes, body, st0)
+    _, labels, _, num_acc, seeds_tab, counts_tab, overflow = st
+    return labels, seeds_tab, counts_tab, num_acc, overflow
+
+
+def grow_mean_shift_regions_batched(points, labels,
+                                    state: MeanShiftState,
+                                    config: ClusterRegionConfig,
+                                    initial_region_id_offset: int = 0,
+                                    params: MeanShiftParams
+                                    = MeanShiftParams()
+                                    ) -> List[MeanShiftRegion]:
+    """One-dispatch growth of every surviving mode (see
+    _grow_all_modes_impl). Mutates ``labels`` in place like the C++.
+    Same closure-vs-BFS divergence class as grow_mean_shift_regions_device;
+    inlier order is sorted col-major (documented divergence)."""
+    h = points.shape[0]
+    cap = int(config.max_regions)
+    fn = jax.jit(lambda p, l, pos, idx, v, it: _grow_all_modes_impl(
+        p, l, pos, idx, v, it, config, params, cap,
+        initial_region_id_offset))
+    new_labels, seeds_tab, counts_tab, num_acc, overflow = jax.device_get(
+        fn(jnp.asarray(points), jnp.asarray(labels), state.pos, state.idx,
+           state.valid, state.intensity))
+    if bool(overflow):
+        import warnings
+        warnings.warn(
+            f"mean-shift region table full (max_regions={cap}): further "
+            "modes were not attempted", stacklevel=2)
+    labels[...] = new_labels
+    regions: List[MeanShiftRegion] = []
+    for rid in range(int(num_acc)):
+        label_id = rid + initial_region_id_offset
+        rr, cc = np.nonzero(new_labels == label_id)
+        regions.append(MeanShiftRegion(
+            label_id=label_id,
+            inlier_indices=np.sort(cc * h + rr).astype(np.int64),
+            seed=np.asarray(seeds_tab[rid], np.float32)))
+    return regions
+
+
 def grow_mean_shift_regions_device(points, labels, state: MeanShiftState,
                                    config: ClusterRegionConfig,
                                    initial_region_id_offset: int = 0,
@@ -325,13 +441,19 @@ def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
 
     Args mirror the reference entry point (mean_shift_segmentation.h:208).
     ``labels`` is numpy [H, W]; mutated in place like the C++. Returns the
-    region list. ``growth``: "device" (production closure growth) or
-    "host" (exact FIFO port, the parity oracle).
+    region list. ``growth``: "device" (production path — ALL modes grown in
+    one dispatched program), "device_permode" (one dispatch per attempted
+    mode; the round-3 path, kept for equivalence testing) or "host" (exact
+    FIFO port, the parity oracle).
     """
     state = jax.jit(
         lambda p, l: mean_shift_modes(p, l, iterations, params))(
         jnp.asarray(points), jnp.asarray(labels))
     if growth == "device":
+        return grow_mean_shift_regions_batched(
+            np.asarray(points), labels, state, config,
+            initial_region_id_offset, params)
+    if growth == "device_permode":
         return grow_mean_shift_regions_device(
             np.asarray(points), labels, state, config,
             initial_region_id_offset, params)

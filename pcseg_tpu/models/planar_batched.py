@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from pcseg_tpu.models.config import UNLABELED, PlanarRegionConfig
 from pcseg_tpu.models.planar import PlanarRegions
@@ -363,7 +364,7 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         rankg = rank_ref[0]
         elig = elig_ref[0] != 0
         word = word_ref[0]
-        radius = radius_ref[0]
+        radius = radius_ref[0, 0, 0]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -387,24 +388,24 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         # 1. per-pixel claim rank (members are disjoint after settle)
         claim = tree([
             jnp.where(((word >> np.uint32(k)) & 1) == 1,
-                      srank_ref[0, k], inf_rank_np)
+                      srank_ref[0, 0, k], inf_rank_np)
             for k in range(k_cap)], jnp.minimum)
 
         # 2+3 sources: gate word + anchor-onehot word
         gw_terms = []
         aw_terms = []
         for k in range(k_cap):
-            a0 = plane_ref[0, k, 0]
-            b0 = plane_ref[0, k, 1]
-            c0 = plane_ref[0, k, 2]
-            d0 = plane_ref[0, k, 3]
+            a0 = plane_ref[0, 0, k, 0]
+            b0 = plane_ref[0, 0, k, 1]
+            c0 = plane_ref[0, 0, k, 2]
+            d0 = plane_ref[0, 0, k, 3]
             dist = jnp.abs(px * a0 + py * b0 + pz * c0 + d0)
-            ark = ar_ref[0, k]
-            ack = ac_ref[0, k]
+            ark = ar_ref[0, 0, k]
+            ack = ac_ref[0, 0, k]
             inbox = (jnp.abs(rows - ark) <= radius) \
                 & (jnp.abs(cols - ack) <= radius)
-            alive_k = alive_ref[0, k] != 0
-            g = (dist < tau) & elig & (claim >= srank_ref[0, k]) \
+            alive_k = alive_ref[0, 0, k] != 0
+            g = (dist < tau) & elig & (claim >= srank_ref[0, 0, k]) \
                 & alive_k & inbox
             mem = ((word >> np.uint32(k)) & 1) == 1
             g = g | mem
@@ -441,11 +442,11 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         # hold no reach bits)
         best = tree([
             jnp.where(((reach >> np.uint32(k)) & 1) == 1,
-                      srank_ref[0, k], inf_rank_np)
+                      srank_ref[0, 0, k], inf_rank_np)
             for k in range(k_cap)], jnp.minimum)
         new_word = tree([
             ((((reach >> np.uint32(k)) & 1) == 1)
-             & (best < inf_rank_np) & (best == srank_ref[0, k]))
+             & (best < inf_rank_np) & (best == srank_ref[0, 0, k]))
             .astype(jnp.uint32) << np.uint32(k)
             for k in range(k_cap)], jnp.bitwise_or)
         oword_ref[0] = new_word
@@ -453,25 +454,25 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         # 5. per-slot reductions (independent per k — shallow graph)
         for k in range(k_cap):
             bit = ((new_word >> np.uint32(k)) & 1) == 1
-            cnt_ref[0, k] = jnp.sum(bit.astype(jnp.int32))
+            cnt_ref[0, 0, k] = jnp.sum(bit.astype(jnp.int32))
             mr = jnp.min(jnp.where(bit, rankg, inf_rank_np))
-            mrank_ref[0, k] = mr
-            alin_ref[0, k] = jnp.min(
+            mrank_ref[0, 0, k] = mr
+            alin_ref[0, 0, k] = jnp.min(
                 jnp.where(bit & (rankg == mr), lin, big_lin))
             m = bit.astype(jnp.float32)
             qx = jnp.where(bit, px, 0.0)
             qy = jnp.where(bit, py, 0.0)
             qz = jnp.where(bit, pz, 0.0)
-            mom_ref[0, k, 0] = jnp.sum(qx * qx)
-            mom_ref[0, k, 1] = jnp.sum(qx * qy)
-            mom_ref[0, k, 2] = jnp.sum(qx * qz)
-            mom_ref[0, k, 3] = jnp.sum(qy * qy)
-            mom_ref[0, k, 4] = jnp.sum(qy * qz)
-            mom_ref[0, k, 5] = jnp.sum(qz * qz)
-            mom_ref[0, k, 6] = jnp.sum(qx)
-            mom_ref[0, k, 7] = jnp.sum(qy)
-            mom_ref[0, k, 8] = jnp.sum(qz)
-            mom_ref[0, k, 9] = jnp.sum(m)
+            mom_ref[0, 0, k, 0] = jnp.sum(qx * qx)
+            mom_ref[0, 0, k, 1] = jnp.sum(qx * qy)
+            mom_ref[0, 0, k, 2] = jnp.sum(qx * qz)
+            mom_ref[0, 0, k, 3] = jnp.sum(qy * qy)
+            mom_ref[0, 0, k, 4] = jnp.sum(qy * qz)
+            mom_ref[0, 0, k, 5] = jnp.sum(qz * qz)
+            mom_ref[0, 0, k, 6] = jnp.sum(qx)
+            mom_ref[0, 0, k, 7] = jnp.sum(qy)
+            mom_ref[0, 0, k, 8] = jnp.sum(qz)
+            mom_ref[0, 0, k, 9] = jnp.sum(m)
 
     def vblock(*trail):
         return pl.BlockSpec((1,) + trail, lambda b: (b,) + (0,) * len(trail),
@@ -479,10 +480,13 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
                                           else pltpu.VMEM))
 
     def sblock(*trail):
-        return pl.BlockSpec((1,) + trail, lambda b: (b,) + (0,) * len(trail),
+        # arrays are [B, 1, *trail] so the block's last two dims equal the
+        # array's (a Mosaic lowering requirement); the batch axis leads
+        return pl.BlockSpec((1, 1) + trail,
+                            lambda b: (b, 0) + (0,) * len(trail),
                             memory_space=pltpu.SMEM)
 
-    rad_spec = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+    rad_spec = sblock(1)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -493,10 +497,10 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         grid=(batch,),
         out_shape=(
             jax.ShapeDtypeStruct((batch, h, w), jnp.uint32),
-            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
-            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
-            jax.ShapeDtypeStruct((batch, k_cap), jnp.int32),
-            jax.ShapeDtypeStruct((batch, k_cap, 10), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1, k_cap), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1, k_cap, 10), jnp.float32),
         ),
         in_specs=[rad_spec] + [vblock(h, w)] * 6
         + [sblock(k_cap)] * 2 + [sblock(k_cap, 4)] + [sblock(k_cap)] * 2,
@@ -514,10 +518,16 @@ def _epoch_kernel_call(h, w, k_cap, tau_py, rounds, interpret):
     the batch — the round-3 lax.map formulation landed batch-stacked state
     in one while-body fusion and OOMed scoped VMEM at VGA)."""
 
-    def batched(radius, *args):
-        b = args[0].shape[0]
-        return _epoch_kernel_batched(h, w, k_cap, tau_py, rounds,
-                                     interpret, b)(radius, *args)
+    def batched(radius, px, py, pz, rank_grid, elig_i32, word,
+                srank, alive_i32, plane, anchor_r, anchor_c):
+        b = px.shape[0]
+        outs = _epoch_kernel_batched(h, w, k_cap, tau_py, rounds,
+                                     interpret, b)(
+            radius.reshape(b, 1, 1), px, py, pz, rank_grid, elig_i32,
+            word, srank[:, None], alive_i32[:, None], plane[:, None],
+            anchor_r[:, None], anchor_c[:, None])
+        new_word, cnt, mrank, alin, mom = outs
+        return (new_word, cnt[:, 0], mrank[:, 0], alin[:, 0], mom[:, 0])
 
     @jax.custom_batching.custom_vmap
     def vcall(radius, px, py, pz, rank_grid, elig_i32, word,
@@ -605,7 +615,7 @@ class _Slots(NamedTuple):
 # Rank sentinel for "not a seed" / dead slot. Strictly below int32 max so
 # arithmetic on ranks can't overflow; all real ranks (including the negative
 # ranks of appended temporal seeds) are far below it.
-INF_RANK = jnp.int32(2**30)
+INF_RANK = _np.int32(2**30)
 
 
 def rank_grid_from_seed_vector(seed_indices, seed_valid, h, w,
@@ -1328,8 +1338,31 @@ def grow_planar_regions_batched(
             return slots, word
 
         word = _pack_bits(slots.members)[0]
-        slots, word = jax.lax.fori_loop(
-            0, len(radii_list), word_epoch, (slots, word))
+        # convergence gate: stop once an UNBOXED epoch (box covers the
+        # grid) leaves the member word unchanged — nothing can change
+        # after that (unchanged word => unchanged counts/ranks/planes, and
+        # founder assignment is deterministic on the covered set; a new
+        # founder always sets its bit, so "word unchanged" also certifies
+        # no assignable seed remains). Boxed epochs never stop early: a
+        # bigger box next epoch can still admit growth.
+        n_ep = len(radii_list)
+        first_full = next((j for j, r_ in enumerate(radii_list)
+                           if r_ >= max(h, w_total)), n_ep - 1)
+
+        def cond(st):
+            slots_, word_, i, stable = st
+            return jnp.logical_and(i < n_ep, jnp.logical_not(stable))
+
+        def body(st):
+            slots_, word_, i, _ = st
+            prev = word_
+            slots_, word_ = word_epoch(i, (slots_, word_))
+            stable = jnp.logical_and(jnp.all(word_ == prev),
+                                     i >= first_full)
+            return slots_, word_, i + 1, stable
+
+        slots, word, _, _ = jax.lax.while_loop(
+            cond, body, (slots, word, jnp.int32(0), jnp.asarray(False)))
         return slots._replace(members=_unpack_bits(word[None], k_cap))
 
     import os
@@ -1351,9 +1384,20 @@ def grow_planar_regions_batched(
     # dissolve the rest).
     radius = 2 * stage_a_gens * stage_a_rings
     radii = []
+    # Box growth factor between refits (numerator/denominator): the boxed
+    # epochs emulate the sequential fit's drift while its wavefront
+    # advances, and VGA parity is MONOTONE in the schedule's fineness
+    # (560x560 room scene: 2/1 -> 0.9761, 3/2 -> 0.9875, 4/3 -> 0.9940,
+    # 5/4 -> 0.9951, 6/5 -> 0.9972 agreement) — the dominant residual is
+    # one region's fit tilting ~0.4 deg away from the sequential
+    # trajectory when refits are coarse, which flips a tau-band
+    # connectivity knife edge on the far wall. 6/5 buys the 99.5%+ margin
+    # at ~5 extra epochs over 4/3.
+    _fac = os.environ.get("PCSEG_RADII_FACTOR", "6/5").split("/")
+    _fnum, _fden = int(_fac[0]), int(_fac[1])
     while radius < max(h, w_total):
         radii.append(radius)
-        radius = (radius * 4) // 3
+        radius = (radius * _fnum) // _fden
     # closure epochs + the final epoch run unboxed (radius covers the grid)
     radii += [max(h, w_total)] * (closure_epochs + 1)
     if dbg:
@@ -1381,11 +1425,30 @@ def grow_planar_regions_batched(
             slots = run_word_epochs(slots, radii)
         else:
             radii_arr = jnp.asarray(radii, jnp.int32)
-            slots = jax.lax.fori_loop(
-                0, len(radii),
-                lambda i, s: epoch(s, assign=True, rounds=flood_rounds,
-                                   radius=radii_arr[i]),
-                slots)
+            n_ep = len(radii)
+            first_full = next((j for j, r_ in enumerate(radii)
+                               if r_ >= max(h, w_total)), n_ep - 1)
+
+            # same convergence gate as run_word_epochs: stop once an
+            # unboxed epoch leaves every slot's member set unchanged
+            # (replicated across shards via psum, so the while cond stays
+            # in lockstep)
+            def ep_cond(st):
+                s_, i, stable = st
+                return jnp.logical_and(i < n_ep, jnp.logical_not(stable))
+
+            def ep_body(st):
+                s_, i, _ = st
+                prev = s_.members
+                s_ = epoch(s_, assign=True, rounds=flood_rounds,
+                           radius=radii_arr[i])
+                unchanged = bk.psum(
+                    jnp.sum((s_.members != prev).astype(jnp.int32))) == 0
+                stable = jnp.logical_and(unchanged, i >= first_full)
+                return s_, i + 1, stable
+
+            slots, _, _ = jax.lax.while_loop(
+                ep_cond, ep_body, (slots, jnp.int32(0), jnp.asarray(False)))
 
     # Degenerate-attempt resolution. An attempt seeded on a thin (near
     # collinear) neighborhood has a rank-deficient fit: the reference's

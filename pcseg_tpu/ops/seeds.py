@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pcseg_tpu.models.config import (
     SeedsFromAverageNormalsParams, SeedsFromPlaneSupportParams)
@@ -201,7 +202,10 @@ def rank_plane_support_seeds(count, qualifies, h, w, max_seeds):
     return jnp.where(valid, indices, 0), valid
 
 
-SEED_RANK_INF = jnp.int32(2 ** 30)  # == models.planar_batched.INF_RANK
+# == models.planar_batched.INF_RANK. A numpy scalar (not jnp): module
+# import must not initialize the XLA backend (multi-host bring-up needs
+# jax.distributed.initialize before any backend touch).
+SEED_RANK_INF = np.int32(2 ** 30)
 
 
 def plane_support_rank_grid(count, qualifies, h, w, cmax):

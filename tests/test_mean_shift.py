@@ -128,6 +128,28 @@ class TestDeviceGrowth:
         assert (la == lb).mean() >= 0.99
         assert len(ra) == len(rb)
 
+    def test_batched_matches_permode_exactly(self):
+        """The one-dispatch all-modes program must reproduce the per-mode
+        dispatch path bit-exactly (same closure, same order, same
+        suppression) on scenes with multiple modes and rejections."""
+        for seed in (3, 7, 11):
+            pts = blob_cloud(seed=seed)
+            h, w = pts.shape[:2]
+            cfg = ClusterRegionConfig()
+            la = np.full((h, w), UNLABELED, np.int32)
+            ra = mean_shift.sliding_mean_shift(pts, la, cfg, 5, 2,
+                                               growth="device")
+            lb = np.full((h, w), UNLABELED, np.int32)
+            rb = mean_shift.sliding_mean_shift(pts, lb, cfg, 5, 2,
+                                               growth="device_permode")
+            np.testing.assert_array_equal(la, lb)
+            assert len(ra) == len(rb)
+            for a, b in zip(ra, rb):
+                assert a.label_id == b.label_id
+                np.testing.assert_array_equal(a.inlier_indices,
+                                              b.inlier_indices)
+                np.testing.assert_allclose(a.seed, b.seed, atol=0)
+
 
 class TestPipelineMeanShift:
     def test_segment_frame_mean_shift(self):
