@@ -150,3 +150,36 @@ class TestMaskedInput:
         final, nrm, dev, cres = seg.device_forward(
             jnp.asarray(pts), jnp.asarray(origin), jnp.asarray(mask))
         assert (np.asarray(final)[5:15, 5:15] == MASKED_EGO).all()
+
+
+class TestBenchShapeRegression:
+    def test_vga_room_480x640_pinned(self):
+        """Pin the benchmark shape's output (480x640 room scene, seed 1).
+
+        The oracle cannot define truth here (the reference's seed finders
+        index transposed — out-of-bounds UB off square grids,
+        segmentation.h:66,104,208-209), so this pins the device pipeline's
+        own answer: 3 planar regions with the scene's analytic planes
+        (wall x=4, floor z=-1 in camera frame at offset 1, ceiling) and no
+        clusters. Round 3 shipped a silent churn at this shape (3+0 vs
+        1+2 between rounds) with zero coverage — this test makes that
+        impossible.
+        """
+        import numpy as np
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.utils.synthetic import synthetic_room_cloud
+
+        pts, origin = synthetic_room_cloud(480, 640, f=480.0, seed=1)
+        seg = pipeline.Segmenter(pipeline.SegmenterConfig())
+        res = seg.segment_frame(pts, origin)
+        assert res.metrics.num_planar_regions == 3, res.metrics
+        assert res.metrics.num_clusters == 0, res.metrics
+        want_planes = np.array([[-1.0, 0.0, 0.0, 4.0],
+                                [0.0, 0.0, 1.0, 1.0],
+                                [0.0, 0.0, -1.0, -0.6]], np.float32)
+        got = np.array([np.asarray(r.plane) for r in res.planar_regions])
+        for w_, g in zip(want_planes, got):
+            assert abs(float(w_[:3] @ g[:3])) > 0.9999, (w_, g)
+            assert abs(float(g[3]) - float(w_[3])) < 0.01, (w_, g)
+        # the three regions claim the bulk of the frame
+        assert (res.labels >= 0).mean() > 0.8
