@@ -74,7 +74,10 @@ def measure_cpp_baseline(points) -> float:
         return float("nan")
 
 
-def tpu_available(attempts=6, probe_timeout=90, wait_between=30) -> bool:
+def tpu_available(attempts=4, probe_timeout=300, wait_between=15) -> bool:
+    # probe_timeout must exceed the relay's COLD claim latency (measured
+    # ~110 s when the chip was last released by another process; round 3's
+    # driver bench died purely on 90 s probe timeouts)
     """Probe the (single, contended) TPU in a subprocess so a wedged chip
     claim can't hang the benchmark; retries in case the claim frees up."""
     code = ("import jax, jax.numpy as jnp;"

@@ -385,13 +385,33 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
         # compile-time constants (a traced `word >> k` lowers to a per-epoch
         # ~30 ms catastrophe on v5e; constant shifts are ~free).
 
+        # All K-term reductions below run CHUNKED (tree-reduce 8 terms,
+        # fold into a running accumulator): a full 32-term tree keeps ~64
+        # [H, W] temporaries live at once, which blew the scoped-VMEM
+        # stack at VGA (110.02M vs the 109.38M limit — the round-3/4
+        # compile failure); 8-term chunks cap liveness at ~10 planes while
+        # keeping the dataflow shallow enough for Mosaic (a 32-deep
+        # sequential chain made compilation pathological).
+        CHUNK = 8
+
+        def chunked(make_term, op):
+            acc = None
+            for base in range(0, k_cap, CHUNK):
+                t = tree([make_term(k)
+                          for k in range(base, min(base + CHUNK, k_cap))],
+                         op)
+                acc = t if acc is None else op(acc, t)
+            return acc
+
         # 1. per-pixel claim rank (members are disjoint after settle)
-        claim = tree([
-            jnp.where(((word >> np.uint32(k)) & 1) == 1,
-                      srank_ref[0, 0, k], inf_rank_np)
-            for k in range(k_cap)], jnp.minimum)
+        claim = chunked(
+            lambda k: jnp.where(((word >> np.uint32(k)) & 1) == 1,
+                                srank_ref[0, 0, k], inf_rank_np),
+            jnp.minimum)
 
         # 2+3 sources: gate word + anchor-onehot word
+        gate = None
+        reach0 = None
         gw_terms = []
         aw_terms = []
         for k in range(k_cap):
@@ -412,8 +432,13 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
             anchor = (rows == ark) & (cols == ack) & g
             gw_terms.append(g.astype(jnp.uint32) << np.uint32(k))
             aw_terms.append(anchor.astype(jnp.uint32) << np.uint32(k))
-        gate = tree(gw_terms, jnp.bitwise_or)
-        reach0 = tree(aw_terms, jnp.bitwise_or)
+            if len(gw_terms) == CHUNK or k == k_cap - 1:
+                gt = tree(gw_terms, jnp.bitwise_or)
+                at = tree(aw_terms, jnp.bitwise_or)
+                gate = gt if gate is None else gate | gt
+                reach0 = at if reach0 is None else reach0 | at
+                gw_terms = []
+                aw_terms = []
         not_g = ~gate
 
         # 3. flood to the fixed point (same recurrence as _flood_pallas)
@@ -440,15 +465,16 @@ def _epoch_kernel_batched(h, w, k_cap, tau_py, rounds, interpret, batch):
 
         # 4. min-rank claims (alive slot ranks are unique; dead are INF and
         # hold no reach bits)
-        best = tree([
-            jnp.where(((reach >> np.uint32(k)) & 1) == 1,
-                      srank_ref[0, 0, k], inf_rank_np)
-            for k in range(k_cap)], jnp.minimum)
-        new_word = tree([
-            ((((reach >> np.uint32(k)) & 1) == 1)
-             & (best < inf_rank_np) & (best == srank_ref[0, 0, k]))
-            .astype(jnp.uint32) << np.uint32(k)
-            for k in range(k_cap)], jnp.bitwise_or)
+        best = chunked(
+            lambda k: jnp.where(((reach >> np.uint32(k)) & 1) == 1,
+                                srank_ref[0, 0, k], inf_rank_np),
+            jnp.minimum)
+        new_word = chunked(
+            lambda k: ((((reach >> np.uint32(k)) & 1) == 1)
+                       & (best < inf_rank_np)
+                       & (best == srank_ref[0, 0, k]))
+            .astype(jnp.uint32) << np.uint32(k),
+            jnp.bitwise_or)
         oword_ref[0] = new_word
 
         # 5. per-slot reductions (independent per k — shallow graph)

@@ -194,3 +194,34 @@ class TestShardedSeedTopK:
         gi = np.asarray(got_idx)[np.asarray(got_valid)]
         wi = np.asarray(want_idx)[np.asarray(want_valid)]
         np.testing.assert_array_equal(gi, wi)
+
+
+@pytest.mark.slow
+class TestShardedFullScale:
+    def test_full_step_560_columns(self, mesh):
+        """Sharded-vs-single equivalence at parity scale (560x560 — the
+        PARITY_VGA scene, 70 columns per shard): the 48x64 tests cannot
+        see shard-count-dependent effects like multi-hop halo reach or
+        stage-A forks at scale. Square grid: the sharded path ranks seeds
+        in natural orientation while the single path replicates the
+        reference's transposed-access quirk (well-defined only on square
+        grids), so dense region ids only align when H == W. (-m slow)"""
+        pts, origin = fixtures.synthetic_room_cloud(560, 560, f=560.0,
+                                                    seed=1)
+        from pcseg_tpu.models import pipeline
+        seg = pipeline.Segmenter(pipeline.SegmenterConfig())
+        final, nrm, dev, cres = seg.device_forward(
+            jnp.asarray(pts), jnp.asarray(origin))
+
+        step = sharded.build_sharded_segment_step(mesh)
+        out = step(jnp.asarray(pts), jnp.asarray(origin))
+
+        assert int(out.planar.num_regions) == int(dev.num_regions)
+        agree = (np.asarray(out.planar.labels)
+                 == np.asarray(dev.labels)).mean()
+        assert agree >= 0.99, agree
+        ns = int(dev.num_regions)
+        for i in range(ns):
+            dot = abs(float(np.asarray(out.planar.planes)[i, :3]
+                            @ np.asarray(dev.planes)[i, :3]))
+            assert dot > 0.999, (i, dot)
