@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from pcseg_tpu.models.config import UNLABELED, ClusterRegionConfig
-from pcseg_tpu.ops import connectivity
+from pcseg_tpu.ops import connectivity, nansafe
 
 
 class ClusterResult(NamedTuple):
@@ -83,7 +83,9 @@ def segment_clusters(points: jnp.ndarray,
     big = jnp.int32(hw)
     inf = jnp.int32(2**31 - 1)
 
-    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    # bit-level finite test: jnp.isfinite is folded away inside large
+    # fused TPU programs (see ops/nansafe.py)
+    finite = nansafe.all_finite(points)
     eligible = (labels == UNLABELED) & finite
 
     if config.ccl_mode == "scan":
@@ -117,9 +119,12 @@ def segment_clusters(points: jnp.ndarray,
         # partial selection)
         key = jnp.where(accepted, big - jnp.arange(hw, dtype=jnp.int32),
                         jnp.int32(0))
-        _, top_roots = jax.lax.top_k(key, max_regions)
+        # grids smaller than max_regions: top_k requires k <= size
+        k_sel = min(max_regions, hw)
+        _, top_roots = jax.lax.top_k(key, k_sel)
         region_sizes = jnp.where(
-            jnp.arange(max_regions) < num_regions, sizes[top_roots], 0)
+            jnp.arange(max_regions) < num_regions,
+            sizes[jnp.pad(top_roots, (0, max_regions - k_sel))], 0)
     else:
         # --- seed pop priorities ---------------------------------------------
         s = seed_indices.shape[0]

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pcseg_tpu.ops import nansafe
 from pcseg_tpu.models.config import (
     UNLABELED, ClusterRegionConfig, MeanShiftParams)
 
@@ -59,14 +60,14 @@ def mean_shift_modes(points: jnp.ndarray, labels: jnp.ndarray,
     hw = params.half_search_window
 
     flat_pts = points.reshape(n, 3)
-    finite = jnp.all(jnp.isfinite(flat_pts), axis=-1)
+    finite = nansafe.all_finite(flat_pts)
     unlabeled = (labels == UNLABELED).reshape(n)
     is_seed = finite & unlabeled
 
     rows = (jnp.arange(n, dtype=jnp.int32) // w).astype(dtype)
     cols = (jnp.arange(n, dtype=jnp.int32) % w).astype(dtype)
     idx0 = jnp.stack([rows, cols], axis=-1)
-    pos0 = jnp.where(is_seed[:, None], jnp.nan_to_num(flat_pts), 0.0)
+    pos0 = jnp.where(is_seed[:, None], nansafe.sanitize(flat_pts), 0.0)
 
     neighbor_ok_grid = (unlabeled & finite).reshape(n)
 
@@ -218,7 +219,7 @@ def _mode_members_impl(points, labels, seed_pos, start_lin, config,
 
     h, w = points.shape[0], points.shape[1]
     hw = h * w
-    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    finite = nansafe.all_finite(points)
     elig = (labels == UNLABELED) & finite
     d2seed = jnp.sum(jnp.square(points - seed_pos), axis=-1)
     ball = elig & (d2seed <= params.squared_centroid_distance_threshold)

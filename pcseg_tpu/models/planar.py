@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from pcseg_tpu.models.config import (
     UNLABELED, EXAMINED, PlanarRegionConfig)
-from pcseg_tpu.ops import geom, plane_fit
+from pcseg_tpu.ops import geom, nansafe, plane_fit
 from pcseg_tpu.ops.normals import _shift
 
 
@@ -125,7 +125,9 @@ def grow_planar_regions(points: jnp.ndarray,
         frontier0 = jnp.zeros((h, w), bool).at[seed_r, seed_c].set(True)
         member0 = jnp.zeros((h, w), bool)
 
-        eligible = (labels_in == UNLABELED)
+        # finite mask is explicit and bit-level: NaN `dist < tau` is
+        # not a trustworthy exclusion on this TPU stack (ops/nansafe.py)
+        eligible = (labels_in == UNLABELED) & nansafe.all_finite(points)
 
         def cond(state):
             member, frontier, plane, m, count, it, first = state

@@ -34,7 +34,7 @@ import numpy as _np
 
 from pcseg_tpu.models.config import UNLABELED, PlanarRegionConfig
 from pcseg_tpu.models.planar import PlanarRegions
-from pcseg_tpu.ops import geom, plane_fit
+from pcseg_tpu.ops import geom, nansafe, plane_fit
 
 
 def _shift_mask(arr, dr, dc, fill=False):
@@ -803,15 +803,23 @@ def grow_planar_regions_batched(
     tau = jnp.asarray(config.max_plane_distance, dtype)
     inf_rank = INF_RANK
 
-    eligible0 = labels == UNLABELED
+    # Eligibility carries the finite-point mask EXPLICITLY, and via the
+    # bit-level test (ops/nansafe.py). Mathematically redundant
+    # (plane.absDistance(NaN) < tau is false, so the inlier gate could
+    # never admit an invalid point, planar_region.h:163-170) — but the TPU
+    # stack behind the relay folds NaN comparisons AND jnp.isfinite away
+    # inside large fused programs, which let the epochs claim NaN-hole
+    # cells at VGA (their zero-substituted moments then tilted the refits
+    # and fragmented the dominant wall into ~20 bogus regions).
+    finite_pts = nansafe.all_finite(points)
+    eligible0 = (labels == UNLABELED) & finite_pts
 
     if seed_rank_grid is None:
         seed_rank_grid = rank_grid_from_seed_vector(
             seed_indices, seed_valid, h, w_total, w_local=w, col0=col0)
     # a usable seed: eligible cell with finite point+normal
     cell_ok = (eligible0
-               & jnp.all(jnp.isfinite(points), axis=-1)
-               & jnp.all(jnp.isfinite(normals), axis=-1))
+               & nansafe.all_finite(normals))
     rank_grid = jnp.where(cell_ok, seed_rank_grid, inf_rank)
 
     slots = _Slots(
@@ -917,7 +925,7 @@ def grow_planar_regions_batched(
 
     # Per-pixel moment features: one [K, HW] x [HW, 10] matmul per refit
     # puts the accumulator reduction on the MXU.
-    pts_safe = jnp.where(jnp.isfinite(points), points, 0.0)
+    pts_safe = nansafe.sanitize(points)
     px, py, pz = pts_safe[..., 0], pts_safe[..., 1], pts_safe[..., 2]
     feat = jnp.stack([px * px, px * py, px * pz, py * py, py * pz, pz * pz,
                       px, py, pz, jnp.ones_like(px)],
@@ -1232,7 +1240,7 @@ def grow_planar_regions_batched(
             new_mem = new_mem & alive[:, None, None]
 
             # patch-local refit + re-estimation cadence (see settle)
-            pp = jnp.where(jnp.isfinite(pts_p), pts_p, 0.0)
+            pp = nansafe.sanitize(pts_p)
             qx, qy, qz = pp[..., 0], pp[..., 1], pp[..., 2]
             feat_p = jnp.stack(
                 [qx * qx, qx * qy, qx * qz, qy * qy, qy * qz, qz * qz,

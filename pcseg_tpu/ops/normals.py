@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from pcseg_tpu.models.config import ComputeNormalsParams
-from pcseg_tpu.ops import geom, plane_fit
+from pcseg_tpu.ops import geom, nansafe, plane_fit
 
 _BIG = jnp.inf
 
@@ -113,8 +113,8 @@ class _DirectionalScan(NamedTuple):
     coord: jnp.ndarray   # [H, W] int32 accepted row (vertical) / col (horiz.)
 
 
-def _scan_direction(padded, center, dr, dc, k_max, min_d2, max_d2,
-                    rows_idx, cols_idx):
+def _scan_direction(padded, padded_ok, center, dr, dc, k_max, min_d2,
+                    max_d2, rows_idx, cols_idx):
     """First in-band neighbor along direction (dr, dc), offsets 1..k_max.
 
     Mirrors the row/col walks of FindNormalSupportNeighbors
@@ -134,8 +134,12 @@ def _scan_direction(padded, center, dr, dc, k_max, min_d2, max_d2,
         found, acc_point, acc_coord = state
         p = jax.lax.dynamic_slice(
             padded, (pk + dr * k, pk + dc * k, 0), (h, w, 3))
+        p_ok = jax.lax.dynamic_slice(
+            padded_ok, (pk + dr * k, pk + dc * k), (h, w))
         d2 = jnp.sum(jnp.square(p - center), axis=-1)
-        ok = (d2 >= min_d2) & (d2 <= max_d2)  # NaN/inf compare false
+        # validity is an explicit boolean AND — `NaN compare false` is not
+        # reliable inside large fused TPU programs (ops/nansafe.py)
+        ok = p_ok & (d2 >= min_d2) & (d2 <= max_d2)
         take = ok & ~found
         found = found | take
         acc_point = jnp.where(take[..., None], p, acc_point)
@@ -173,21 +177,23 @@ def find_normal_support(points: jnp.ndarray,
     k_max = params.max_scan_steps
 
     center = points
-    center_valid = jnp.all(jnp.isfinite(points), axis=-1)
+    center_valid = nansafe.all_finite(points)
 
     rows_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
     padded = jnp.pad(points, ((k_max, k_max), (k_max, k_max), (0, 0)),
                      constant_values=jnp.nan)
-    up = _scan_direction(padded, center, -1, 0, k_max, min_d2, max_d2,
-                         rows_idx, cols_idx)
-    down = _scan_direction(padded, center, 1, 0, k_max, min_d2, max_d2,
-                           rows_idx, cols_idx)
-    left = _scan_direction(padded, center, 0, -1, k_max, min_d2, max_d2,
-                           rows_idx, cols_idx)
-    right = _scan_direction(padded, center, 0, 1, k_max, min_d2, max_d2,
-                            rows_idx, cols_idx)
+    padded_ok = jnp.pad(center_valid, ((k_max, k_max), (k_max, k_max)),
+                        constant_values=False)
+    up = _scan_direction(padded, padded_ok, center, -1, 0, k_max, min_d2,
+                         max_d2, rows_idx, cols_idx)
+    down = _scan_direction(padded, padded_ok, center, 1, 0, k_max, min_d2,
+                           max_d2, rows_idx, cols_idx)
+    left = _scan_direction(padded, padded_ok, center, 0, -1, k_max, min_d2,
+                           max_d2, rows_idx, cols_idx)
+    right = _scan_direction(padded, padded_ok, center, 0, 1, k_max, min_d2,
+                            max_d2, rows_idx, cols_idx)
 
     acc = _Moments10.zeros((h, w), dtype)
     acc = acc.add(center, center_valid)
@@ -225,10 +231,12 @@ def find_normal_support(points: jnp.ndarray,
         lin = jnp.stack([r * w + c for _, r, c in diag_sel])  # [4, H, W]
         flat = points.reshape(-1, 3)
         diag_pts = flat[lin.reshape(-1)].reshape(4, h, w, 3)
+        diag_ok = center_valid.reshape(-1)[lin.reshape(-1)].reshape(4, h, w)
         for i, (gate, _, _) in enumerate(diag_sel):
             p = diag_pts[i]
             d2 = jnp.sum(jnp.square(p - center), axis=-1)
-            ok = gate & (d2 >= min_d2) & (d2 <= max_d2)
+            # explicit validity AND (see _scan_direction)
+            ok = gate & diag_ok[i] & (d2 >= min_d2) & (d2 <= max_d2)
             acc = acc.add(p, ok)
             count = count + ok
 
@@ -271,7 +279,7 @@ def compute_normals_organized(
     # estimator is freshly cleared per pixel, so the hint fully determines
     # the sign (plane_estimator.cc:121-125).
     hint = sensor_origin - points
-    hint = jnp.where(jnp.isfinite(hint), hint, 1.0)
+    hint = jnp.where(nansafe.isfinite(hint), hint, 1.0)
     moments = plane_fit.set_normal_orientation(support.moments, hint)
 
     sol = plane_fit.solve(moments)

@@ -35,6 +35,7 @@ import numpy as np
 
 from pcseg_tpu.models.config import (
     SeedsFromAverageNormalsParams, SeedsFromPlaneSupportParams)
+from pcseg_tpu.ops import nansafe
 from pcseg_tpu.ops.normals import _shift
 
 
@@ -86,7 +87,7 @@ def seeds_from_average_normals(
 
     # Work on the transposed grid (see module docstring).
     nt = jnp.swapaxes(normals, 0, 1)  # [W, H, 3]
-    valid = jnp.all(jnp.isfinite(nt), axis=-1)
+    valid = nansafe.all_finite(nt)
     nvals = jnp.where(valid[..., None], nt, 0.0)
 
     # Per-row (axis0 of nt) trailing sums along axis1 over nbh columns:
@@ -168,17 +169,20 @@ def plane_support_counts(points, normals, params):
     plane at (r, c) tested against the window points[r±h, c±h]. Used
     directly by the sharded pipeline (which drops the transposed-access
     quirk) and via transposed inputs for reference parity."""
-    center_ok = (jnp.all(jnp.isfinite(points), axis=-1)
-                 & jnp.all(jnp.isfinite(normals), axis=-1))
+    finite_pts = nansafe.all_finite(points)
+    center_ok = finite_pts & nansafe.all_finite(normals)
     d = -jnp.sum(normals * points, axis=-1)
     half = params.neighborhood_size // 2
     count = jnp.zeros(points.shape[:2], jnp.int32)
     for dr in range(-half, half + 1):
         for dc in range(-half, half + 1):
             q = _shift(points, -dr, -dc, jnp.nan)  # q[a,b] = points[a+dr, b+dc]
+            # explicit neighbor-validity AND: NaN `dist < tau` is not a
+            # trustworthy exclusion on this TPU stack (ops/nansafe.py)
+            q_ok = _shift(finite_pts, -dr, -dc, False)
             dist = jnp.abs(jnp.sum(normals * q, axis=-1) + d)
-            count = count + (dist < params.max_plane_distance).astype(
-                jnp.int32)
+            count = count + ((dist < params.max_plane_distance)
+                             & q_ok).astype(jnp.int32)
     return count, center_ok
 
 
@@ -283,7 +287,7 @@ def seeds_from_last_regions(points, normals, prev_centroids, prev_normals,
     ndot = jnp.dot(n_cur, flat_n.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     ok = (ndot > cos_gate) & (d2 < max_distance * max_distance) \
-        & jnp.all(jnp.isfinite(flat_p), axis=-1)[None, :]
+        & nansafe.all_finite(flat_p)[None, :]
     big = jnp.asarray(jnp.inf, points.dtype)
     masked = jnp.where(ok, d2, big)
     best = jnp.argmin(masked, axis=-1)

@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pcseg_tpu.ops import nansafe
+
 
 class VoxelGrid(NamedTuple):
     points: jnp.ndarray       # [Gx, Gy, 3] cell centroids (NaN empty)
@@ -35,7 +37,7 @@ def voxelize_xy(points: jnp.ndarray, cell_size: float,
     """
     gx, gy = grid_shape
     n = points.shape[0]
-    finite = jnp.all(jnp.isfinite(points), axis=-1)
+    finite = nansafe.all_finite(points)
     pts = jnp.where(finite[:, None], points, 0.0)
 
     if origin is None:

@@ -35,7 +35,7 @@ from pcseg_tpu.models.config import (
     UNLABELED, EXAMINED, ClusterRegionConfig, ComputeNormalsParams,
     PlanarRegionConfig, SeedsFromPlaneSupportParams)
 from pcseg_tpu.models import planar as planar_model
-from pcseg_tpu.ops import geom, plane_fit
+from pcseg_tpu.ops import geom, nansafe, plane_fit
 from pcseg_tpu.ops import normals as normals_op
 from pcseg_tpu.ops import seeds as seeds_op
 from pcseg_tpu.ops.normals import _shift
@@ -449,8 +449,8 @@ class _ShardedGrowerBackend:
         c_s = jnp.clip(c_l, 0, wl - 1)
         # NaN values would poison the ownership psum; callers only gather
         # cell_ok (finite) seeds, so zeroing is invisible
-        pt = jnp.where(owned[:, None], jnp.nan_to_num(points[r, c_s]), 0.0)
-        nm = jnp.where(owned[:, None], jnp.nan_to_num(normals[r, c_s]), 0.0)
+        pt = jnp.where(owned[:, None], nansafe.sanitize(points[r, c_s]), 0.0)
+        nm = jnp.where(owned[:, None], nansafe.sanitize(normals[r, c_s]), 0.0)
         return lax.psum(pt, self.axis), lax.psum(nm, self.axis)
 
 
@@ -632,7 +632,7 @@ def build_sharded_segment_step(mesh: Mesh,
                 planar_config, h, w, axis, 0, max_attempts)
 
         eligible = (regions.labels == UNLABELED) \
-            & jnp.all(jnp.isfinite(points_local), axis=-1)
+            & nansafe.all_finite(points_local)
         roots = sharded_connected_components(
             points_local, eligible,
             jnp.asarray(cluster_config.squared_distance_threshold,

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pcseg_tpu.ops import nansafe
+
 from pcseg_tpu.ops import geom
 
 COL_MAJOR = 0  # cloud.h:31 — the reference default
@@ -112,7 +114,7 @@ class PointCloud:
 
     def valid_mask(self) -> jnp.ndarray:
         """[H, W] bool — point is finite (all 3 components)."""
-        return jnp.all(jnp.isfinite(self.points), axis=-1)
+        return nansafe.all_finite(self.points)
 
     def transform(self, pose: geom.Pose) -> "PointCloud":
         """Rotate+translate points, rotate normals — TransformInPlace
