@@ -1121,7 +1121,9 @@ def grow_planar_regions_batched(
     span = stage_a_gens * stage_a_rings
     use_patches = (backend is None and h >= patch and w >= patch
                    and h * w >= 4 * patch * patch
-                   and patch // 2 - span - stage_a_rings >= 1)
+                   and patch // 2 - span - stage_a_rings >= 1
+                   # debug/ops escape hatch (miscompile bisection)
+                   and _os.environ.get("PCSEG_STAGEA") != "full")
 
     def stage_a_patched(slots):
         kar = jnp.arange(k_cap, dtype=jnp.int32)
@@ -1149,7 +1151,11 @@ def grow_planar_regions_batched(
             return jax.vmap(one)(orr, orc)
 
         def gen_body(i, st):
-            slots, orr, orc, mem_p = st
+            # in-loop optimization barrier: the patched stage A was observed
+            # MIscompiled by XLA:TPU when fused into the full pipeline
+            # (exact in truncated programs; full-grid stage A in the same
+            # program is exact) — pin the generation boundary
+            slots, orr, orc, mem_p = jax.lax.optimization_barrier(st)
             owner = stamp_owner(orr, orc, mem_p, slots.rank, slots.alive)
             covered = owner < inf_rank
             # founder assignment (assign_founders minus the member grids)
@@ -1453,6 +1459,13 @@ def grow_planar_regions_batched(
             slots = jax.lax.fori_loop(
                 0, stage_a_gens, lambda i, s: generation(s, assign=True),
                 slots)
+        # optimization_barrier between the grower stages: XLA:TPU was
+        # observed MIscomputing the composed program at VGA scale (regions
+        # claiming cells far outside their tau-band, full-row member
+        # artifacts) while every stage verified exact both in isolation
+        # and in programs truncated after that stage — i.e. a cross-stage
+        # fusion miscompile. The barrier pins the stage boundary.
+        slots = jax.lax.optimization_barrier(slots)
         if "epochs" in _skip:
             pass
         elif backend is None and _use_pallas_epoch(k_cap):
@@ -1501,6 +1514,7 @@ def grow_planar_regions_batched(
     # covers >=90% of its members (the escape outcome); if no such slot
     # exists it stays and the finalize gates reject it (the stall
     # outcome, = quarantine).
+    slots = jax.lax.optimization_barrier(slots)  # see stage barrier above
     if "tail" in _skip:
         return PlanarRegions(
             labels=labels, num_regions=jnp.int32(0),
