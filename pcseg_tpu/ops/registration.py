@@ -28,8 +28,12 @@ def nearest_neighbors(source: jnp.ndarray, dest: jnp.ndarray,
     [N,3]x[3,M] matmul (MXU); squared norms are rank-1 corrections.
     ``tile`` bounds the distance-matrix working set for large N.
     """
+    # accumulate in at least f32 without truncating f64 inputs
+    # (algorithms_test.cc:406-428 exercises the double-typed suite)
+    acc_t = jnp.promote_types(source.dtype, jnp.float32)
+
     def block(src):
-        cross = jnp.dot(src, dest.T, preferred_element_type=jnp.float32,
+        cross = jnp.dot(src, dest.T, preferred_element_type=acc_t,
                         precision=jax.lax.Precision.HIGHEST)
         d2 = (jnp.sum(src * src, axis=-1, keepdims=True)
               - 2.0 * cross
@@ -67,8 +71,11 @@ def compute_rigid_transform(source: jnp.ndarray, dest: jnp.ndarray,
     c_d = jnp.sum(dest * weights[:, None], axis=0) / wsum
     s = (source - c_s) * weights[:, None]
     d = dest - c_d
-    # SD^T accumulated as a 3x3 matmul (algorithms.h:576-581)
-    sdt = jnp.dot(s.T, d, preferred_element_type=jnp.float32,
+    # SD^T accumulated as a 3x3 matmul (algorithms.h:576-581); accumulate
+    # in at least f32 without truncating f64 inputs
+    sdt = jnp.dot(s.T, d,
+                  preferred_element_type=jnp.promote_types(
+                      source.dtype, jnp.float32),
                   precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(sdt, full_matrices=True)
     v = vt.T

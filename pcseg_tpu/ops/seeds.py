@@ -286,8 +286,12 @@ def seeds_from_last_regions(points, normals, prev_centroids, prev_normals,
           + jnp.sum(flat_p * flat_p, axis=-1)[None, :])
     ndot = jnp.dot(n_cur, flat_n.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+    # explicit finite-normal AND: `NaN ndot > cos_gate` compare-false is
+    # not trustworthy inside large fused programs (ops/nansafe.py), and a
+    # finite-point/NaN-normal cell must never be picked as a seed
     ok = (ndot > cos_gate) & (d2 < max_distance * max_distance) \
-        & nansafe.all_finite(flat_p)[None, :]
+        & nansafe.all_finite(flat_p)[None, :] \
+        & nansafe.all_finite(flat_n)[None, :]
     big = jnp.asarray(jnp.inf, points.dtype)
     masked = jnp.where(ok, d2, big)
     best = jnp.argmin(masked, axis=-1)

@@ -177,3 +177,42 @@ class TestRegistration:
         assert float(res.mean_error) < 1e-3
         np.testing.assert_allclose(np.asarray(res.transform.translation), t,
                                    atol=1e-3)
+
+
+class TestRegistrationDouble:
+    """Double-precision Kabsch/ICP parity (algorithms_test.cc:406-428 runs
+    the typed rigid-transform suite at double); under jax x64 the same ops
+    must recover transforms to double-precision tolerances."""
+
+    def _cloud64(self, n=60, seed=11):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(-2, 2, (n, 3)).astype(np.float64)
+
+    def test_rigid_transform_double(self):
+        import jax
+        with jax.enable_x64():
+            src = self._cloud64()
+            angle = 0.3
+            c, s = np.cos(angle), np.sin(angle)
+            r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+            t = np.array([0.1, -0.7, 2.0], np.float64)
+            dest = src @ r.T + t
+            rt = registration.compute_rigid_transform(
+                jnp.asarray(src, jnp.float64), jnp.asarray(dest, jnp.float64))
+            assert np.asarray(rt.rotation).dtype == np.float64
+            np.testing.assert_allclose(np.asarray(rt.rotation), r, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(rt.translation), t,
+                                       atol=1e-9)
+
+    def test_icp_double(self):
+        import jax
+        with jax.enable_x64():
+            rng = np.random.default_rng(12)
+            src = self._cloud64(80)
+            t = np.array([0.05, -0.04, 0.06], np.float64)
+            dest = (src + t)[rng.permutation(80)]
+            res = registration.iterative_closest_point(
+                jnp.asarray(src, jnp.float64), jnp.asarray(dest, jnp.float64))
+            assert float(res.mean_error) < 1e-8
+            np.testing.assert_allclose(np.asarray(res.transform.translation),
+                                       t, atol=1e-8)
