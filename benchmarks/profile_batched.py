@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Per-stage DEVICE-COMPUTE breakdown of the batched (B-frame) forward.
+"""In-context per-stage cost of the PRODUCTION streaming path (batch B).
 
-Each stage is wrapped to return a tiny scalar checksum, so the timed loop
-excludes the tunnel's D2H cost of bulk outputs (~40-75 MB/s through the
-relay) and the ~25 ms dispatch floor amortizes over the batch. Inputs
-perturbed per iteration + forced scalar D2H per iteration (relay
-result-caches identical computations; see CLAUDE.md).
+The single-dispatch stage timings in measure_tpu.py are dominated by the
+relay's fixed ~25 ms round trip + payload transfer (CLAUDE.md), so they
+cannot localize the stream path's compute. This harness times nested
+PREFIXES of the streaming program (unproject; +normals; +seeds; +grow;
++cluster = full) at batch B with a *scalar checksum* output — the D2H is
+4 bytes, so consecutive-prefix differences isolate each stage's in-context
+compute cost. Inputs are uniquely perturbed per dispatch (the relay
+result-caches identical computations).
 
-Writes benchmarks/profile_batched.json.
+Writes benchmarks/profile_batched.json. Run with the chip free; ~6
+program compiles (~100 s each cold, cached by the persistent cache).
 """
 
 import argparse
@@ -20,136 +24,142 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pcseg_jax_cache")
+
+H, W = 480, 640
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "profile_batched.json")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--hw", type=str, default="480x640")
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--stages", type=str, default="all")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--radii-factor", default=None)
     args = ap.parse_args()
-    h, w = (int(x) for x in args.hw.split("x"))
-    B = args.batch
+    if args.radii_factor:
+        os.environ["PCSEG_RADII_FACTOR"] = args.radii_factor
 
     import jax
     import jax.numpy as jnp
-    from pcseg_tpu.models import cluster, pipeline, planar_batched
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # noqa: BLE001
+        print("compilation cache unavailable:", e)
+
+    from pcseg_tpu.models import cluster, pipeline
+    from pcseg_tpu.models import planar_batched
     from pcseg_tpu.models.config import UNLABELED
+    from pcseg_tpu.ops import nansafe
     from pcseg_tpu.ops import normals as normals_op
     from pcseg_tpu.ops import seeds as seeds_op
+    from pcseg_tpu.ops import unproject
     from pcseg_tpu.utils.synthetic import synthetic_room_cloud
 
-    print(f"backend {jax.devices()[0]}", flush=True)
-    t0 = time.perf_counter()
-    _ = np.asarray(jnp.ones((8, 8)).sum())
-    print(f"probe {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    _ = float(jnp.ones((8, 8)).sum())
+    print(f"claimed in {time.time() - t0:.1f}s; {jax.devices()}", flush=True)
 
-    pts_np, origin_np = synthetic_room_cloud(h, w, f=float(h), seed=1)
+    B = args.batch
+    seg_cfg = pipeline.SegmenterConfig()
+    pts_np, origin_np = synthetic_room_cloud(H, W, f=float(H), seed=1)
     origin = jnp.asarray(origin_np)
-    rng = np.random.default_rng(3)
+    rays = jnp.asarray(unproject.camera_ray_table(H, W, f=float(H)))
+    base_u16 = unproject.encode_range(pts_np)
+    valid = base_u16 > 0
+    rng = np.random.default_rng(7)
 
-    def batch_pts(i):
-        jit = rng.normal(0, 1e-4, (B, 1, 1, 1)).astype(np.float32)
-        a = jnp.asarray(pts_np[None] + jit + np.float32(i * 1e-5))
-        a.block_until_ready()
-        return a
+    def mk(i):
+        jit16 = rng.integers(0, 5, size=(B, H, W), dtype=np.uint16)
+        fr = np.where(valid[None], base_u16[None] + jit16, 0)
+        return (jnp.asarray(fr.astype(np.uint16)),)
 
-    seg = pipeline.Segmenter(pipeline.SegmenterConfig())
-    cfg = seg.config
-    results = {"hw": [h, w], "batch": B}
+    def stage_points(d):
+        return unproject.unproject_range(d, rays,
+                                         unproject.DEFAULT_DEPTH_SCALE)
 
-    def checksum(tree):
-        leaves = [x for x in jax.tree_util.tree_leaves(tree)
-                  if hasattr(x, "dtype")]
-        tot = jnp.zeros((), jnp.float32)
-        for leaf in leaves:
-            tot = tot + jnp.sum(leaf.astype(jnp.float32) * 0 + 1) * 0 \
-                + jnp.sum(jnp.nan_to_num(leaf.astype(jnp.float32),
-                                         posinf=1e6, neginf=-1e6))
-        return tot
+    def stage_normals(d):
+        p = stage_points(d)
+        return p, normals_op.compute_normals_organized(
+            p, origin, seg_cfg.normals)
 
-    def timeit(name, fn, make_args, iters=args.iters):
-        f = jax.jit(lambda *a: checksum(fn(*a)))
-        t0 = time.perf_counter()
-        _ = np.asarray(f(*make_args(0)))
-        compile_s = time.perf_counter() - t0
+    def stage_seeds(d):
+        p, n = stage_normals(d)
+        ranked = seeds_op.seeds_from_plane_support(
+            p, n, seg_cfg.plane_support_seeds)
+        return p, n, ranked
+
+    def stage_grow(d):
+        p, n, ranked = stage_seeds(d)
+        labels0 = jnp.full((H, W), UNLABELED, jnp.int32)
+        dev = planar_batched.grow_planar_regions_batched(
+            p, n, labels0, ranked.indices, ranked.valid, seg_cfg.planar, 0,
+            seed_rank_grid=ranked.rank_grid)
+        return p, dev
+
+    def stage_full(d):
+        p, dev = stage_grow(d)
+        hw = H * W
+        seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
+        cres = cluster.segment_clusters(
+            p, dev.labels, seed_vec, seg_cfg.cluster, 0,
+            canonical_seeds=True)
+        final = jnp.where(
+            (cres.labels >= 0) & (dev.labels == UNLABELED),
+            cres.labels + dev.num_regions, cres.labels)
+        return final
+
+    def csum(x):
+        return jnp.sum(nansafe.sanitize(x.astype(jnp.float32)))
+
+    programs = {
+        "unproject": lambda d: csum(stage_points(d)),
+        "normals": lambda d: csum(stage_normals(d)[1]),
+        "seeds": lambda d: csum(
+            stage_seeds(d)[2].rank_grid.astype(jnp.float32)),
+        "grow": lambda d: csum(stage_grow(d)[1].labels.astype(jnp.float32)),
+        "full": lambda d: csum(stage_full(d).astype(jnp.float32)),
+    }
+
+    results = {"hw": [H, W], "batch": B,
+               "radii_factor": os.environ.get("PCSEG_RADII_FACTOR", "6/5")}
+
+    def flush():
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(OUT + ".tmp", OUT)
+
+    prev_ms = 0.0
+    for name, fn in programs.items():
+        f = jax.jit(jax.vmap(fn))
+        t1 = time.time()
+        out = f(*mk(0))
+        _ = np.asarray(out)
+        comp = time.time() - t1
         times = []
-        for i in range(iters):
-            a = make_args(i + 1)
-            t0 = time.perf_counter()
-            _ = np.asarray(f(*a))
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-        print(f"{name:28s} {best * 1e3:9.1f} ms/batch "
-              f"({best * 1e3 / B:7.2f} ms/frame)  compile {compile_s:.0f}s  "
-              + " ".join(f"{t * 1e3:.0f}" for t in times), flush=True)
-        results[name] = {"ms_batch": best * 1e3, "ms_frame": best * 1e3 / B,
-                         "compile_s": compile_s}
-        with open(OUT, "w") as f2:
-            json.dump(results, f2, indent=2)
+        for i in range(args.iters):
+            a = mk(i + 1)
+            t1 = time.perf_counter()
+            out = f(*a)
+            _ = np.asarray(out)
+            times.append(time.perf_counter() - t1)
+        best_ms = min(times) * 1e3
+        results[name] = {
+            "ms_batch": round(best_ms, 2),
+            "ms_frame": round(best_ms / B, 2),
+            "ms_frame_delta": round((best_ms - prev_ms) / B, 2),
+            "compile_s": round(comp, 1),
+        }
+        print(f"{name:10s} {best_ms:8.1f} ms/batch "
+              f"{best_ms / B:7.2f} ms/frame "
+              f"delta {(best_ms - prev_ms) / B:7.2f} ms/frame "
+              f"(compile {comp:.0f}s)", flush=True)
+        prev_ms = best_ms
+        flush()
 
-    stages = args.stages.split(",") if args.stages != "all" else [
-        "normals", "normals_variants", "seeds", "grow", "cluster", "full"]
-
-    vnorm = jax.vmap(lambda p: normals_op.compute_normals_organized(
-        p, origin, cfg.normals))
-    if "normals" in stages:
-        timeit("normals", vnorm, lambda i: (batch_pts(i),))
-
-    if "normals_variants" in stages:
-        import dataclasses
-        cfg_k8 = dataclasses.replace(cfg.normals, max_scan_steps=8)
-        timeit("normals_k8", jax.vmap(
-            lambda p: normals_op.compute_normals_organized(p, origin,
-                                                           cfg_k8)),
-               lambda i: (batch_pts(i),))
-        cfg_nd = dataclasses.replace(cfg.normals,
-                                     include_diagonal_neighbors=False)
-        timeit("normals_nodiag", jax.vmap(
-            lambda p: normals_op.compute_normals_organized(p, origin,
-                                                           cfg_nd)),
-               lambda i: (batch_pts(i),))
-        # support only (scan + moments, no eigensolve)
-        timeit("normals_support_only", jax.vmap(
-            lambda p: normals_op.find_normal_support(p, cfg.normals)),
-               lambda i: (batch_pts(i),))
-
-    nrm = jax.jit(vnorm)(batch_pts(0))
-    nrm.block_until_ready()
-
-    vseeds = jax.vmap(lambda p, n: seeds_op.seeds_from_plane_support(
-        p, n, cfg.plane_support_seeds))
-    if "seeds" in stages:
-        timeit("seeds", vseeds, lambda i: (batch_pts(i), nrm))
-
-    ranked = jax.jit(vseeds)(batch_pts(0), nrm)
-    labels0 = jnp.full((h, w), UNLABELED, jnp.int32)
-
-    vgrow = jax.vmap(
-        lambda p, n, si, sv: planar_batched.grow_planar_regions_batched(
-            p, n, labels0, si, sv, cfg.planar, 0))
-    if "grow" in stages:
-        timeit("grow", vgrow,
-               lambda i: (batch_pts(i), nrm, ranked.indices, ranked.valid))
-
-    if "cluster" in stages:
-        hw_n = h * w
-        seed_vec = jnp.arange(hw_n - 1, -1, -1, dtype=jnp.int32)
-        lab = jax.jit(jax.vmap(
-            lambda p, n, si, sv: planar_batched.grow_planar_regions_batched(
-                p, n, labels0, si, sv, cfg.planar, 0).labels))(
-            batch_pts(0), nrm, ranked.indices, ranked.valid)
-        lab.block_until_ready()
-        vclu = jax.vmap(lambda p, l: cluster.segment_clusters(
-            p, l, seed_vec, cfg.cluster, 0))
-        timeit("cluster", vclu, lambda i: (batch_pts(i), lab))
-
-    if "full" in stages:
-        vfull = jax.vmap(lambda p: seg._forward_impl(p, origin)[0])
-        timeit("full", vfull, lambda i: (batch_pts(i),))
+    print(json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":
