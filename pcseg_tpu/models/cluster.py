@@ -52,7 +52,8 @@ def segment_clusters(points: jnp.ndarray,
                      config: ClusterRegionConfig = ClusterRegionConfig(),
                      initial_id_offset: int = 0,
                      seed_valid: Optional[jnp.ndarray] = None,
-                     canonical_seeds: bool = False) -> ClusterResult:
+                     canonical_seeds: bool = False,
+                     need_sizes: bool = True) -> ClusterResult:
     """Segment euclidean clusters on an organized grid.
 
     Args:
@@ -73,6 +74,15 @@ def segment_clusters(points: jnp.ndarray,
         (min eligible col-major index), so the priority scatter, the
         per-component min-reduction, and the full-grid argsort are all
         skipped — several ms/frame on TPU.
+      need_sizes: when False (stream serving path), ``region_sizes`` is
+        returned as zeros and, when the configuration permits, acceptance
+        is decided by an exact windowed same-root count instead of the
+        307k-segment scatter + top_k (several ms/frame on TPU): a gated
+        component has >= m members iff ANY member sees >= m same-root
+        cells within Chebyshev radius w*(m-1) (BFS from a member gains
+        >= 1 cell per ring until the component is exhausted, and the whole
+        component lies within that radius when its size < m). Labels and
+        num_regions are identical to the general path (tested).
 
     Returns ClusterResult with dense region ids assigned exactly like the
     reference (verified against clustering_test.cc:127-151; the canonical
@@ -104,6 +114,37 @@ def segment_clusters(points: jnp.ndarray,
         eligible.astype(jnp.int32), roots, eligible, h, w, "sum")
 
     max_regions = config.max_regions
+    # exact windowed-acceptance radius (see need_sizes docstring); only
+    # worth unrolling for small radii (the production 8-neighborhood with
+    # min 7 inliers -> radius 6, 168 shifted compares)
+    win_r = config.half_search_window * (config.min_region_inliers - 1)
+    if canonical_seeds and not need_sizes and win_r <= 6:
+        cnt = jnp.ones(points.shape[:2], jnp.int32)
+        for dr in range(-win_r, win_r + 1):
+            for dc in range(-win_r, win_r + 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nb = connectivity._shift2(roots, dr, dc, big)
+                cnt = cnt + (nb == roots).astype(jnp.int32)
+        # per-pixel acceptance (constant across a component); ineligible
+        # neighbors carry root BIG != any eligible root, so no masking
+        # beyond the final eligibility gate is needed
+        acc_px = eligible & (cnt >= config.min_region_inliers)
+        # dense ids ascend by root index: cumsum of the accepted-ROOT
+        # indicator in col-major order (roots are col-major min indices)
+        lin_grid = connectivity.colmajor_index_grid(h, w)
+        acc_root_cm = jnp.swapaxes(
+            acc_px & (roots == lin_grid), 0, 1).reshape(-1)
+        order_cm = jnp.cumsum(acc_root_cm.astype(jnp.int32)) - 1
+        num_regions = jnp.sum(acc_root_cm.astype(jnp.int32))
+        point_region = jnp.where(
+            acc_px, order_cm[jnp.clip(roots, 0, hw - 1)], -1)
+        new_labels = jnp.where(point_region >= 0,
+                               point_region + initial_id_offset, labels)
+        return ClusterResult(labels=new_labels, num_regions=num_regions,
+                             region_sizes=jnp.zeros((max_regions,),
+                                                    jnp.int32),
+                             roots=roots)
     if canonical_seeds:
         # Founding pop priority of a component == its root index (every
         # pixel seeds, ascending col-major pop order), so acceptance order

@@ -198,7 +198,8 @@ class Segmenter:
             points, labels, seed_vec, self.config.cluster,
             initial_id_offset=0, canonical_seeds=True)
 
-    def _forward_impl(self, points, sensor_origin, labels0=None):
+    def _forward_impl(self, points, sensor_origin, labels0=None,
+                      need_sizes=True):
         """Pure-device forward: normals + planar growth + cluster closure.
 
         Uses device-side planar acceptance (min-inlier gate only) and
@@ -214,7 +215,8 @@ class Segmenter:
         seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
         cres = cluster.segment_clusters(
             points, dev.labels, seed_vec, self.config.cluster,
-            initial_id_offset=0, canonical_seeds=True)
+            initial_id_offset=0, canonical_seeds=True,
+            need_sizes=need_sizes)
         # cluster ids follow the planar ids
         final = jnp.where(
             (cres.labels >= 0) & (dev.labels == UNLABELED),
@@ -238,7 +240,11 @@ class Segmenter:
         compact labels out (see ops/unproject.py for the payload design)."""
         from pcseg_tpu.ops import unproject
         points = unproject.unproject_range(depth_u16, rays, depth_scale)
-        final, nrm, dev, cres = self._forward_impl(points, sensor_origin)
+        # need_sizes=False: the wire format reports region counts only, so
+        # the serving path skips the per-region size table (a 307k-segment
+        # scatter + top_k, measured several ms/frame on the chip)
+        final, nrm, dev, cres = self._forward_impl(points, sensor_origin,
+                                                   need_sizes=False)
         # uint8 label wire format: 255 = unlabeled/invalid; planar region
         # ids then cluster ids are dense and bounded by
         # planar.max_regions + cluster.max_regions <= 254.

@@ -1431,9 +1431,11 @@ def grow_planar_regions_batched(
     # 5/4 -> 0.9951, 6/5 -> 0.9972 agreement) — the dominant residual is
     # one region's fit tilting ~0.4 deg away from the sequential
     # trajectory when refits are coarse, which flips a tau-band
-    # connectivity knife edge on the far wall. 6/5 buys the 99.5%+ margin
-    # at ~5 extra epochs over 4/3.
-    _fac = os.environ.get("PCSEG_RADII_FACTOR", "6/5").split("/")
+    # connectivity knife edge on the far wall. Default 4/3: the cheapest
+    # schedule that clears the >=99% north-star gate (PARITY_VGA.json is
+    # regenerated at this setting; measured ~16% faster per stream frame
+    # than 6/5 on the chip — benchmarks/tpu_results.json r5).
+    _fac = os.environ.get("PCSEG_RADII_FACTOR", "4/3").split("/")
     _fnum, _fden = int(_fac[0]), int(_fac[1])
     while radius < max(h, w_total):
         radii.append(radius)

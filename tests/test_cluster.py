@@ -158,3 +158,46 @@ class TestPallasCCL:
             g, l, offsets, 64, h * w, interpret=True))(gate, labels0)
         got = jnp.where(jnp.asarray(elig), got, jnp.int32(h * w))
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+class TestFastAcceptanceTail:
+    """need_sizes=False (stream tail): labels and num_regions must equal
+    the general path exactly; region_sizes are intentionally zeros."""
+
+    def _compare(self, pts, labels):
+        import jax.numpy as jnp
+        from pcseg_tpu.models import cluster
+        from pcseg_tpu.models.config import ClusterRegionConfig
+        h, w = pts.shape[:2]
+        hw = h * w
+        seed_vec = jnp.arange(hw - 1, -1, -1, dtype=jnp.int32)
+        cfg = ClusterRegionConfig()
+        a = cluster.segment_clusters(jnp.asarray(pts), jnp.asarray(labels),
+                                     seed_vec, cfg, 0,
+                                     canonical_seeds=True, need_sizes=True)
+        b = cluster.segment_clusters(jnp.asarray(pts), jnp.asarray(labels),
+                                     seed_vec, cfg, 0,
+                                     canonical_seeds=True, need_sizes=False)
+        np.testing.assert_array_equal(np.asarray(a.labels),
+                                      np.asarray(b.labels))
+        assert int(a.num_regions) == int(b.num_regions)
+
+    def test_golden_grid(self):
+        from tests import fixtures
+        pts = fixtures.clustering_fixture_cloud(10)
+        labels = np.full((10, 10), -1, np.int32)
+        self._compare(pts, labels)
+
+    def test_cluttered_scene(self):
+        from pcseg_tpu.utils.synthetic import synthetic_cluttered_room_cloud
+        pts, _ = synthetic_cluttered_room_cloud(96, 128, f=96.0, seed=3)
+        labels = np.full((96, 128), -1, np.int32)
+        self._compare(pts, labels)
+
+    def test_random_adversarial(self):
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(-3, 3, (40, 40, 3)).astype(np.float32)
+        pts[rng.random((40, 40)) < 0.1] = np.nan
+        labels = np.full((40, 40), -1, np.int32)
+        labels[:5, :5] = 2  # pre-labeled cells stay out
+        self._compare(pts, labels)

@@ -208,12 +208,12 @@ class TestClutteredBenchScene:
         res = seg.segment_frame(pts, origin)
         assert res.metrics.num_planar_regions == 4, res.metrics
         assert res.metrics.num_clusters == 4, res.metrics
-        assert sorted(res.cluster_sizes.tolist()) == [617, 659, 951, 2054], \
+        assert sorted(res.cluster_sizes.tolist()) == [628, 665, 951, 2054], \
             res.cluster_sizes
         # device-only forward also exercises clustering on this scene
         final, nrm, dev, cres = seg.device_forward(jnp.asarray(pts),
                                                    jnp.asarray(origin))
-        assert int(cres.num_regions) == 3, int(cres.num_regions)
+        assert int(cres.num_regions) == 4, int(cres.num_regions)
         assert int(dev.num_regions) == 9, int(dev.num_regions)
         # the room's three analytic planes are still among the accepted
         want = np.array([[-1.0, 0.0, 0.0, 4.0],
