@@ -289,11 +289,13 @@ def main():
     def _():
         times = []
         nreg = 0
-        for i in range(2):
+        for i in range(3):
             p = big + np.float32(i * 1e-5)
             t1 = time.perf_counter()
+            # min_region_inliers gates GRID CELLS in the mean-shift path
+            # (the r5-first-run config of 1000 rejected every mode)
             r = unorganized.cluster_unorganized_mean_shift(
-                p, ClusterRegionConfig(min_region_inliers=1000),
+                p, ClusterRegionConfig(),
                 cell_size=0.5, grid_shape=(256, 256), iterations=5)
             nreg = int(np.asarray(r.num_regions))
             times.append(time.perf_counter() - t1)

@@ -284,16 +284,24 @@ class PlanarRegionRecord:
 def finalize_planar_regions(points, normals, device_regions,
                             config: PlanarRegionConfig,
                             initial_id_offset: int = 0,
-                            rot_robot: Optional[np.ndarray] = None):
+                            rot_robot: Optional[np.ndarray] = None,
+                            disc_flags: Optional[np.ndarray] = None):
     """Apply the deferred finalize gates and build host region records.
 
     Args:
-      points/normals: [H, W, 3] numpy.
+      points/normals: [H, W, 3] numpy. ``normals`` may be None when
+        ``disc_flags`` is given (its only use is the discontinuity pass).
       device_regions: models.planar.PlanarRegions (device output).
       config: planar config.
       initial_id_offset: same offset passed to the device pass.
       rot_robot: 3x3 rotation of robot_pose_point_cloud (for the
         discontinuity z checks); identity if None.
+      disc_flags: optional [H, W] bool — per-pixel discontinuity stencil
+        precomputed ON DEVICE (ops/discontinuity.py) against the
+        device-time labels; the per-region discontinuous set is then just
+        boundary ∩ flags (valid for accepted regions: rejection only
+        clears OTHER labels, see ops/discontinuity.py docstring). Without
+        it the host recomputes the stencil from ``normals``.
 
     Returns (labels [H, W] int32 with compacted ids, [PlanarRegionRecord]).
     """
@@ -332,8 +340,13 @@ def finalize_planar_regions(points, normals, device_regions,
             continue
         new_id = len(records) + initial_id_offset
         relabel[old_id] = new_id
-        disc = discontinuous_boundary(
-            boundary, points, normals, labels, old_id, rot, config)
+        if disc_flags is not None:
+            bidx_all = np.asarray(boundary, np.int64)
+            br, bc = bidx_all % rows, bidx_all // rows
+            disc = set(int(i) for i in bidx_all[disc_flags[br, bc]])
+        else:
+            disc = discontinuous_boundary(
+                boundary, points, normals, labels, old_id, rot, config)
         records.append(PlanarRegionRecord(
             label_id=new_id,
             plane=planes[rid].copy(),

@@ -26,6 +26,7 @@ original seed position as tiebreak.
 from __future__ import annotations
 
 from collections import deque
+import functools
 from typing import List, NamedTuple
 
 import jax
@@ -347,6 +348,27 @@ def _grow_all_modes_impl(points, labels0, pos, idx, valid, intensity,
     return labels, seeds_tab, counts_tab, num_acc, overflow
 
 
+# Module-level cached jits: the configs are frozen (hashable) dataclasses,
+# so passing them static reuses one compiled program per parameterization
+# across frames. The previous per-call ``jax.jit(lambda ...)`` wrappers
+# compiled fresh on EVERY sliding_mean_shift call (~30 s/frame of pure
+# recompilation on the chip — the whole of round 5's first
+# mean_shift_1m measurement).
+_mean_shift_modes_jit = functools.partial(
+    jax.jit, static_argnums=(2, 3))(mean_shift_modes)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _grow_all_modes_jit(p, l, pos, idx, v, it, config, params, cap, offset):
+    return _grow_all_modes_impl(p, l, pos, idx, v, it, config, params, cap,
+                                offset)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _mode_members_jit(p, l, s, i, config, params):
+    return _mode_members_impl(p, l, s, i, config, params)
+
+
 def grow_mean_shift_regions_batched(points, labels,
                                     state: MeanShiftState,
                                     config: ClusterRegionConfig,
@@ -360,12 +382,11 @@ def grow_mean_shift_regions_batched(points, labels,
     inlier order is sorted col-major (documented divergence)."""
     h = points.shape[0]
     cap = int(config.max_regions)
-    fn = jax.jit(lambda p, l, pos, idx, v, it: _grow_all_modes_impl(
-        p, l, pos, idx, v, it, config, params, cap,
-        initial_region_id_offset))
     new_labels, seeds_tab, counts_tab, num_acc, overflow = jax.device_get(
-        fn(jnp.asarray(points), jnp.asarray(labels), state.pos, state.idx,
-           state.valid, state.intensity))
+        _grow_all_modes_jit(
+            jnp.asarray(points), jnp.asarray(labels), state.pos, state.idx,
+            state.valid, state.intensity, config, params, cap,
+            initial_region_id_offset))
     if bool(overflow):
         import warnings
         warnings.warn(
@@ -399,8 +420,8 @@ def grow_mean_shift_regions_device(points, labels, state: MeanShiftState,
     order = np.nonzero(valid)[0]
     order = order[np.argsort(intensity[order], kind="stable")]
 
-    grow = jax.jit(lambda p, l, s, i: _mode_members_impl(
-        p, l, s, i, config, params))
+    def grow(p, l, s, i):
+        return _mode_members_jit(p, l, s, i, config, params)
     points_j = jnp.asarray(points)
 
     regions: List[MeanShiftRegion] = []
@@ -447,9 +468,8 @@ def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
     mode; the round-3 path, kept for equivalence testing) or "host" (exact
     FIFO port, the parity oracle).
     """
-    state = jax.jit(
-        lambda p, l: mean_shift_modes(p, l, iterations, params))(
-        jnp.asarray(points), jnp.asarray(labels))
+    state = _mean_shift_modes_jit(jnp.asarray(points), jnp.asarray(labels),
+                                  iterations, params)
     if growth == "device":
         return grow_mean_shift_regions_batched(
             np.asarray(points), labels, state, config,

@@ -67,7 +67,11 @@ class FrameMetrics(NamedTuple):
 @dataclasses.dataclass
 class FrameResult:
     labels: np.ndarray                 # [H, W] final label grid
-    normals: np.ndarray                # [H, W, 3]
+    # None: normals stay on device — the discontinuity stencil (their only
+    # host consumer) moved into the device program (ops/discontinuity.py);
+    # fetching [H, W, 3] f32 through the relay cost ~90 ms/frame. Use
+    # ops.normals.compute_normals_organized directly if you need them.
+    normals: Optional[np.ndarray]
     planar_regions: List               # PlanarRegionRecord (classified)
     num_clusters: int
     cluster_sizes: np.ndarray
@@ -81,12 +85,13 @@ class Segmenter:
 
     def __init__(self, config: SegmenterConfig = SegmenterConfig()):
         self.config = config
-        self._planar_stage = jax.jit(self._planar_stage_impl)
-        self._planar_stage_temporal = jax.jit(self._planar_stage_temporal_impl)
-        self._cluster_stage = jax.jit(self._cluster_stage_impl)
+        self._planar_stage = jax.jit(self._planar_payload_impl)
+        self._planar_stage_temporal = jax.jit(
+            self._planar_payload_temporal_impl)
+        self._cluster_stage = jax.jit(self._cluster_payload_impl)
         self._forward = jax.jit(self._forward_impl)
-        self._full_stage = jax.jit(self._full_stage_impl)
-        self._full_stage_temporal = jax.jit(self._full_stage_temporal_impl)
+        self._full_stage = jax.jit(self._full_payload_impl)
+        self._full_stage_temporal = jax.jit(self._full_payload_temporal_impl)
 
     # -- device programs ----------------------------------------------------
 
@@ -169,7 +174,42 @@ class Segmenter:
                          rank_grid)
         return nrm, dev, num_seeds
 
-    def _full_stage_impl(self, points, sensor_origin, labels0):
+    def _compact_payload(self, points, nrm, dev, num_seeds, rot_robot,
+                         cres=None):
+        """The D2H pytree of segment_frame, sized for the host link: int8
+        label grids (region ids are < 128 by the static max_regions
+        bounds), the per-region tables, and the device-computed
+        discontinuity bit grid (ops/discontinuity.py) INSTEAD of the full
+        [H, W, 3] normals (3.7 MB through a ~40 MB/s relay tunnel was most
+        of round 4's 600 ms segment_frame)."""
+        from pcseg_tpu.ops import discontinuity
+        disc = discontinuity.discontinuity_flags(
+            points, nrm, dev.labels, rot_robot, self.config.planar)
+        out = dict(
+            dev_labels=dev.labels.astype(jnp.int8),
+            planes=dev.planes, centroids=dev.centroids,
+            curvatures=dev.curvatures, counts=dev.counts,
+            seed_indices=dev.seed_indices, num_regions=dev.num_regions,
+            overflow=dev.overflow, num_seeds=num_seeds, disc=disc)
+        if cres is not None:
+            out.update(cres_labels=cres.labels.astype(jnp.int8),
+                       cres_num=cres.num_regions,
+                       cres_sizes=cres.region_sizes)
+        return out
+
+    def _planar_payload_impl(self, points, sensor_origin, labels0,
+                             rot_robot):
+        nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin,
+                                                      labels0)
+        return self._compact_payload(points, nrm, dev, num_seeds, rot_robot)
+
+    def _planar_payload_temporal_impl(self, points, sensor_origin, labels0,
+                                      rot_robot, *targs):
+        nrm, dev, num_seeds = self._planar_stage_temporal_impl(
+            points, sensor_origin, labels0, *targs)
+        return self._compact_payload(points, nrm, dev, num_seeds, rot_robot)
+
+    def _full_payload_impl(self, points, sensor_origin, labels0, rot_robot):
         """Planar stage + optimistic euclidean clustering in ONE program:
         segment_frame reuses the cluster result whenever the host finalize
         accepts every device-accepted region (the common case), avoiding a
@@ -178,16 +218,21 @@ class Segmenter:
         nrm, dev, num_seeds = self._planar_stage_impl(points, sensor_origin,
                                                       labels0)
         cres = self._cluster_stage_impl(points, dev.labels)
-        return nrm, dev, num_seeds, cres
+        return self._compact_payload(points, nrm, dev, num_seeds, rot_robot,
+                                     cres)
 
-    def _full_stage_temporal_impl(self, points, sensor_origin, labels0,
-                                  prev_centroids, prev_normals, prev_counts,
-                                  prev_valid, pose_quat, pose_trans):
+    def _full_payload_temporal_impl(self, points, sensor_origin, labels0,
+                                    rot_robot, *targs):
         nrm, dev, num_seeds = self._planar_stage_temporal_impl(
-            points, sensor_origin, labels0, prev_centroids, prev_normals,
-            prev_counts, prev_valid, pose_quat, pose_trans)
+            points, sensor_origin, labels0, *targs)
         cres = self._cluster_stage_impl(points, dev.labels)
-        return nrm, dev, num_seeds, cres
+        return self._compact_payload(points, nrm, dev, num_seeds, rot_robot,
+                                     cres)
+
+    def _cluster_payload_impl(self, points, labels):
+        cres = self._cluster_stage_impl(points, labels)
+        return dict(cres_labels=cres.labels.astype(jnp.int8),
+                    cres_num=cres.num_regions, cres_sizes=cres.region_sizes)
 
     def _cluster_stage_impl(self, points, labels):
         # every point is a clustering seed, popped in ascending col-major
@@ -289,6 +334,7 @@ class Segmenter:
             MASKED_EGO / MASKED_OUT sentinels (segmentation.h:36-45);
             masked cells are never claimed and survive into the output.
         """
+        from pcseg_tpu.models import planar as planar_model
         from pcseg_tpu.ops import geom
         cfg = self.config
         points_j = jnp.asarray(points)
@@ -296,6 +342,9 @@ class Segmenter:
             labels0 = jnp.asarray(input_mask, jnp.int32)
         else:
             labels0 = jnp.full(points_j.shape[:2], UNLABELED, jnp.int32)
+        rot_np = np.eye(3, dtype=np.float32) if rot_robot is None \
+            else np.asarray(rot_robot, np.float32)
+        rot_j = jnp.asarray(rot_np)
         # Euclidean clustering rides in the SAME program as the planar stage
         # (optimistic: valid whenever the host finalize accepts every
         # device-accepted region) — a second dispatch + label round trip
@@ -303,7 +352,6 @@ class Segmenter:
         dev_cluster = (cfg.run_clustering
                        and cfg.cluster.cluster_method
                        != ClusterMethod.MEAN_SHIFT)
-        cres = None
         if prev_regions is not None and len(prev_regions) > 0:
             cap = cfg.planar.max_regions
             cents = np.zeros((cap, 3), np.float32)
@@ -317,31 +365,42 @@ class Segmenter:
                 valid[i] = True
             pose = pose_cur_prev if pose_cur_prev is not None \
                 else geom.Pose.identity()
-            targs = (points_j, jnp.asarray(sensor_origin), labels0,
+            targs = (points_j, jnp.asarray(sensor_origin), labels0, rot_j,
                      jnp.asarray(cents), jnp.asarray(norms),
                      jnp.asarray(counts), jnp.asarray(valid), pose.quat,
                      pose.trans)
-            if dev_cluster:
-                nrm, dev, num_seeds, cres = self._full_stage_temporal(*targs)
-            else:
-                nrm, dev, num_seeds = self._planar_stage_temporal(*targs)
+            payload = (self._full_stage_temporal(*targs) if dev_cluster
+                       else self._planar_stage_temporal(*targs))
         elif dev_cluster:
-            nrm, dev, num_seeds, cres = self._full_stage(
-                points_j, jnp.asarray(sensor_origin), labels0)
+            payload = self._full_stage(
+                points_j, jnp.asarray(sensor_origin), labels0, rot_j)
         else:
-            nrm, dev, num_seeds = self._planar_stage(
-                points_j, jnp.asarray(sensor_origin), labels0)
+            payload = self._planar_stage(
+                points_j, jnp.asarray(sensor_origin), labels0, rot_j)
         points_np = np.asarray(points, np.float32)
-        # ONE D2H of the whole result pytree: device_get issues every copy
-        # async before blocking, so the relay round trips overlap instead of
-        # paying ~25 ms per np.asarray/int() conversion (round 3 spent most
-        # of segment_frame's 691 ms there).
-        nrm, dev, num_seeds, cres = jax.device_get(
-            (nrm, dev, num_seeds, cres))
-        normals_np = nrm
+        # ONE D2H of the compact payload (int8 label grids + per-region
+        # tables + the discontinuity bit grid — see _compact_payload):
+        # device_get issues every copy async before blocking, so the relay
+        # round trips overlap instead of paying ~25 ms per np.asarray/int()
+        # conversion (round 3 spent most of segment_frame's 691 ms there).
+        payload = jax.device_get(payload)
+        num_seeds = payload["num_seeds"]
+        dev = planar_model.PlanarRegions(
+            labels=payload["dev_labels"].astype(np.int32),
+            num_regions=payload["num_regions"],
+            planes=payload["planes"], centroids=payload["centroids"],
+            curvatures=payload["curvatures"], counts=payload["counts"],
+            seed_indices=payload["seed_indices"], moments=None,
+            overflow=payload["overflow"])
+        cres = None
+        if dev_cluster:
+            cres = dict(labels=payload["cres_labels"].astype(np.int32),
+                        num=int(payload["cres_num"]),
+                        sizes=payload["cres_sizes"])
 
         labels, records = boundary.finalize_planar_regions(
-            points_np, normals_np, dev, cfg.planar, 0, rot_robot)
+            points_np, None, dev, cfg.planar, 0, rot_robot,
+            disc_flags=payload["disc"])
         summary = classify.ClassificationDebugSummary()
         classify.classify_regions(records, cfg.classification,
                                   cfg.up_direction, cfg.known_floor_point,
@@ -371,15 +430,18 @@ class Segmenter:
                     # cells reverted to UNLABELED and are clusterable, the
                     # reference's quarantine-then-reset) — rerun clustering
                     # on the corrected label grid
-                    cres = jax.device_get(self._cluster_stage(
+                    c2 = jax.device_get(self._cluster_stage(
                         points_j, jnp.asarray(labels)))
-                cl = np.asarray(cres.labels)
+                    cres = dict(labels=c2["cres_labels"].astype(np.int32),
+                                num=int(c2["cres_num"]),
+                                sizes=c2["cres_sizes"])
+                cl = cres["labels"]
                 # shift cluster ids above the planar ids
                 mask = (cl >= 0) & (labels == UNLABELED)
                 labels_final = labels.copy()
                 labels_final[mask] = cl[mask] + num_planar
-                num_clusters = int(cres.num_regions)
-                cluster_sizes = np.asarray(cres.region_sizes)[:num_clusters]
+                num_clusters = cres["num"]
+                cluster_sizes = np.asarray(cres["sizes"])[:num_clusters]
 
         for rec in records:
             objects.append(extract.planar_detected_object_from_labels(
@@ -396,7 +458,7 @@ class Segmenter:
             num_clusters=num_clusters,
             planar_overflow=bool(dev.overflow),
         )
-        return FrameResult(labels=labels_final, normals=normals_np,
+        return FrameResult(labels=labels_final, normals=None,
                            planar_regions=records,
                            num_clusters=num_clusters,
                            cluster_sizes=cluster_sizes,

@@ -793,6 +793,13 @@ def grow_planar_regions_batched(
     exactly the kAlreadyExamedPoint lifecycle) and the host resets them to
     UNLABELED afterwards.
     """
+    import os as _os
+    # Stage-A schedule override "gens/rings" (trace-time env, like
+    # PCSEG_RADII_FACTOR): rings/gen trades refit cadence for generation
+    # count at the same total span — parity-gated like the radii factor.
+    _sa = _os.environ.get("PCSEG_STAGE_A")
+    if _sa:
+        stage_a_gens, stage_a_rings = (int(x) for x in _sa.split("/"))
     bk = backend or GrowerBackend()
     h, w = points.shape[0], points.shape[1]   # w = LOCAL column count
     w_total = bk.w_total if bk.w_total is not None else w

@@ -228,3 +228,90 @@ class TestClutteredBenchScene:
                     matched += 1
                     break
         assert matched == 3, got
+
+
+class TestDeviceDiscontinuityFlags:
+    def test_flags_match_host_stencil(self):
+        """ops/discontinuity.py must reproduce the host stencil exactly on
+        each accepted region's boundary (incl. a non-identity robot
+        rotation exercising the z checks)."""
+        import jax.numpy as jnp
+        from pcseg_tpu.models import boundary, pipeline
+        from pcseg_tpu.ops import discontinuity
+        from pcseg_tpu.ops import normals as normals_op
+        from pcseg_tpu.ops import seeds as seeds_op
+        from pcseg_tpu.models import planar_batched
+        from pcseg_tpu.models.config import UNLABELED
+        from tests import fixtures
+
+        pts, origin = fixtures.synthetic_room_cloud(64, 64, f=64.0, seed=4)
+        ang = 0.3
+        rot = np.array([[np.cos(ang), -np.sin(ang), 0],
+                        [np.sin(ang), np.cos(ang), 0],
+                        [0, 0, 1]], np.float32)
+        cfg = pipeline.SegmenterConfig()
+        nrm = normals_op.compute_normals_organized(
+            jnp.asarray(pts), jnp.asarray(origin), cfg.normals)
+        ranked = seeds_op.seeds_from_plane_support(
+            jnp.asarray(pts), nrm, cfg.plane_support_seeds)
+        labels0 = jnp.full(pts.shape[:2], UNLABELED, jnp.int32)
+        dev = planar_batched.grow_planar_regions_batched(
+            jnp.asarray(pts), nrm, labels0, ranked.indices, ranked.valid,
+            cfg.planar, 0, seed_rank_grid=ranked.rank_grid)
+        flags = np.asarray(discontinuity.discontinuity_flags(
+            jnp.asarray(pts), nrm, dev.labels, jnp.asarray(rot),
+            cfg.planar))
+
+        dev_np = jax.device_get(dev)
+        # host path (normals-based)
+        labels_a, recs_a = boundary.finalize_planar_regions(
+            pts, np.asarray(nrm), dev_np, cfg.planar, 0, rot)
+        # device-flag path
+        labels_b, recs_b = boundary.finalize_planar_regions(
+            pts, None, dev_np, cfg.planar, 0, rot, disc_flags=flags)
+        assert len(recs_a) == len(recs_b) >= 1
+        np.testing.assert_array_equal(labels_a, labels_b)
+        for a, b in zip(recs_a, recs_b):
+            assert a.discontinuous_boundary_indices \
+                == b.discontinuous_boundary_indices
+
+    def test_stencil_exact_on_random_cloud(self):
+        """Every pixel, every gate branch: random in-range points with a
+        single label make boundary=all-pixels; the device stencil must
+        match the host port bit for bit."""
+        import jax.numpy as jnp
+        from pcseg_tpu.models import boundary as boundary_mod
+        from pcseg_tpu.ops import discontinuity
+        from pcseg_tpu.models.config import PlanarRegionConfig
+
+        rng = np.random.default_rng(3)
+        h, w = 32, 40
+        # radii spanning the [1.2, 4.0] range gate plus outliers
+        r = rng.uniform(0.8, 4.5, (h, w)).astype(np.float32)
+        dirs = rng.normal(size=(h, w, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        pts = r[..., None] * dirs
+        pts[rng.random((h, w)) < 0.08] = np.nan
+        nrm = rng.normal(size=(h, w, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm[rng.random((h, w)) < 0.05] = np.nan
+        labels = np.zeros((h, w), np.int32)
+        ang = 0.7
+        rot = np.array([[1, 0, 0],
+                        [0, np.cos(ang), -np.sin(ang)],
+                        [0, np.sin(ang), np.cos(ang)]], np.float32)
+        cfg = PlanarRegionConfig()
+
+        flags = np.asarray(discontinuity.discontinuity_flags(
+            jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(labels),
+            jnp.asarray(rot), cfg))
+        all_idx = [c * h + rr for c in range(w) for rr in range(h)]
+        host = boundary_mod.discontinuous_boundary(
+            all_idx, pts, nrm, labels, 0, rot, cfg)
+        got = {int(i) for i in np.asarray(all_idx)
+               if flags[int(i) % h, int(i) // h]}
+        assert got == host
+        assert len(host) > 0, "random scene must produce discontinuities"
+
+
+import jax  # noqa: E402  (used by TestDeviceDiscontinuityFlags)
