@@ -58,23 +58,48 @@ def _gather_points(points: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return points[indices % rows, indices // rows]
 
 
+class RegionIndexer:
+    """Shared index for extracting MANY regions from one label grid.
+
+    One stable argsort of the col-major flattened labels replaces a full
+    [H, W] ``nonzero`` scan per object (the extraction pass's dominant
+    cost, ~2.5 ms x objects at VGA). ``indices(id)`` returns the region's
+    members as ascending col-major linear indices — identical to
+    models.cluster.gather_region_indices (tested)."""
+
+    def __init__(self, labels: np.ndarray):
+        flat_cm = np.ascontiguousarray(labels.T).ravel()
+        self._order = np.argsort(flat_cm, kind="stable").astype(np.int64)
+        self._sorted = flat_cm[self._order]
+
+    def indices(self, region_id: int) -> np.ndarray:
+        lo = np.searchsorted(self._sorted, region_id, side="left")
+        hi = np.searchsorted(self._sorted, region_id, side="right")
+        return np.sort(self._order[lo:hi])
+
+
 def cluster_detected_object(points: np.ndarray, labels: np.ndarray,
                             region_id: int,
-                            object_class: str = SEMANTIC_UNKNOWN
+                            object_class: str = SEMANTIC_UNKNOWN,
+                            indexer: Optional[RegionIndexer] = None
                             ) -> DetectedObject:
     """CreateClusterDetectedObjectProto (detected_objects.h:62-74)."""
-    idx = gather_region_indices(labels, region_id)
+    idx = indexer.indices(region_id) if indexer is not None \
+        else gather_region_indices(labels, region_id)
     return DetectedObject(object_class=object_class,
                           points=_gather_points(points, idx))
 
 
 def planar_detected_object_from_labels(points: np.ndarray,
                                        labels: np.ndarray,
-                                       record) -> DetectedObject:
+                                       record,
+                                       indexer: Optional[RegionIndexer]
+                                       = None) -> DetectedObject:
     """CreatePlanarDetectedObjectProto (detected_objects.cc:21-48): gather
     inliers, centroid + plane from the estimator, and re-map discontinuous
     boundary indices to positions within the gathered point list."""
-    idx = gather_region_indices(labels, record.label_id)
+    idx = indexer.indices(record.label_id) if indexer is not None \
+        else gather_region_indices(labels, record.label_id)
     pts = _gather_points(points, idx)
     disc = record.discontinuous_boundary_indices
     positions = np.nonzero(np.isin(idx, list(disc)))[0].astype(np.int32) \

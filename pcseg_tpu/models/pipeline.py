@@ -443,13 +443,15 @@ class Segmenter:
                 num_clusters = cres["num"]
                 cluster_sizes = np.asarray(cres["sizes"])[:num_clusters]
 
+        indexer = extract.RegionIndexer(labels_final) \
+            if (records or num_clusters) else None
         for rec in records:
             objects.append(extract.planar_detected_object_from_labels(
-                points_np, labels_final, rec))
+                points_np, labels_final, rec, indexer=indexer))
         for cid in range(num_clusters):
             objects.append(extract.cluster_detected_object(
                 points_np, labels_final, num_planar + cid,
-                SEMANTIC_UNKNOWN))
+                SEMANTIC_UNKNOWN, indexer=indexer))
 
         metrics = FrameMetrics(
             num_seeds=int(num_seeds),

@@ -58,5 +58,9 @@ def load_hostops() -> Optional[ctypes.CDLL]:
     lib.pcseg_flood_outside.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.pcseg_convex_hull_2d.restype = ctypes.c_int64
+    lib.pcseg_convex_hull_2d.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     _LIB = lib
     return _LIB

@@ -154,3 +154,38 @@ void pcseg_flood_outside(const uint8_t* mask, int32_t rows, int32_t cols,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Andrew monotone-chain 2-D convex hull over [n, 2] float64 points (already
+// deduplicated + lexsorted by the caller). Writes CCW hull vertex INDICES
+// into ``out`` (capacity n) and returns their count. Moved from the
+// pure-Python hostgeom.convex_hull_2d: the per-point Python loop was the
+// host finalize's hottest spot (~43 ms/VGA-frame; this is ~microseconds).
+int64_t pcseg_convex_hull_2d(const double* pts, int64_t n, int64_t* out) {
+  if (n <= 2) {
+    for (int64_t i = 0; i < n; ++i) out[i] = i;
+    return n;
+  }
+  auto cross = [&](int64_t o, int64_t a, int64_t b) {
+    const double ox = pts[2 * o], oy = pts[2 * o + 1];
+    return (pts[2 * a] - ox) * (pts[2 * b + 1] - oy) -
+           (pts[2 * a + 1] - oy) * (pts[2 * b] - ox);
+  };
+  std::vector<int64_t> h(2 * n);
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {  // lower
+    while (k >= 2 && cross(h[k - 2], h[k - 1], i) <= 0) --k;
+    h[k++] = i;
+  }
+  const int64_t lower = k + 1;
+  for (int64_t i = n - 2; i >= 0; --i) {  // upper
+    while (k >= lower && cross(h[k - 2], h[k - 1], i) <= 0) --k;
+    h[k++] = i;
+  }
+  --k;  // last point == first
+  for (int64_t i = 0; i < k; ++i) out[i] = h[i];
+  return k;
+}
+
+}  // extern "C"

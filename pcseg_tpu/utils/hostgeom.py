@@ -19,10 +19,25 @@ def convex_hull_2d(pts: np.ndarray) -> np.ndarray:
     is identical.
     """
     pts = np.asarray(pts, np.float64)
-    pts = np.unique(pts, axis=0)
+    # lexsort + adjacent-diff dedup == np.unique(axis=0) without the
+    # structured-dtype sort (which dominated the hull's runtime)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) > 1:
+        keep = np.any(pts[1:] != pts[:-1], axis=1)
+        pts = np.concatenate([pts[:1], pts[1:][keep]])
     if len(pts) <= 2:
         return pts
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    from pcseg_tpu import native as _native
+    lib = _native.load_hostops()
+    if lib is not None:
+        import ctypes
+        buf = np.ascontiguousarray(pts)
+        out = np.empty(len(pts), np.int64)
+        k = lib.pcseg_convex_hull_2d(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            len(pts), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return pts[out[:k]]
 
     def cross2(o, a, b):
         return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])

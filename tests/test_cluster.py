@@ -201,3 +201,16 @@ class TestFastAcceptanceTail:
         labels = np.full((40, 40), -1, np.int32)
         labels[:5, :5] = 2  # pre-labeled cells stay out
         self._compare(pts, labels)
+
+
+def test_region_indexer_matches_gather():
+    """extract.RegionIndexer must return exactly
+    cluster.gather_region_indices for every id."""
+    from pcseg_tpu.models import extract
+    from pcseg_tpu.models.cluster import gather_region_indices
+    rng = np.random.default_rng(5)
+    labels = rng.integers(-3, 6, (37, 53)).astype(np.int32)
+    idxr = extract.RegionIndexer(labels)
+    for rid in range(-3, 6):
+        np.testing.assert_array_equal(idxr.indices(rid),
+                                      gather_region_indices(labels, rid))
