@@ -125,9 +125,23 @@ def main():
             t1 = time.perf_counter()
             res = seg.segment_frame(p, origin_np)
             full_times.append(time.perf_counter() - t1)
+        # u16-ingest variant: the production payload (2 B/px over the
+        # link, host reconstructs the identical f32 cloud locally)
+        rays_np = np.asarray(rays)
+        su_times = []
+        for i in range(4):
+            d = np.where(valid, base_u16 + np.uint16(i % 3), 0)
+            t1 = time.perf_counter()
+            res_u = seg.segment_frame_stream(d.astype(np.uint16), rays_np,
+                                             origin_np)
+            su_times.append(time.perf_counter() - t1)
         ext = {
             "full_pipeline_ms_per_frame": round(min(full_times) * 1e3, 1),
             "full_pipeline_points_per_sec": round(H * W / min(full_times), 1),
+            "full_pipeline_u16_ms_per_frame":
+                round(min(su_times[1:]) * 1e3, 1),
+            "full_pipeline_u16_points_per_sec":
+                round(H * W / min(su_times[1:]), 1),
             "num_planar_regions": res.metrics.num_planar_regions,
             "num_clusters": res.metrics.num_clusters,
             "stream_points_per_sec": round(pps, 1),

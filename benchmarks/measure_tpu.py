@@ -293,10 +293,13 @@ def main():
             p = big + np.float32(i * 1e-5)
             t1 = time.perf_counter()
             # min_region_inliers gates GRID CELLS in the mean-shift path
-            # (the r5-first-run config of 1000 rejected every mode)
+            # (the r5-first-run config of 1000 rejected every mode), and
+            # the cell size must keep the reference's >=50-support gate
+            # satisfiable: at 0.5 m cells the 1 m window holds <= 25
+            # cells, so every mode died; 0.125 m cells give ~121.
             r = unorganized.cluster_unorganized_mean_shift(
                 p, ClusterRegionConfig(),
-                cell_size=0.5, grid_shape=(256, 256), iterations=5)
+                cell_size=0.125, grid_shape=(512, 512), iterations=5)
             nreg = int(np.asarray(r.num_regions))
             times.append(time.perf_counter() - t1)
         results["mean_shift_1m_ms"] = round(min(times) * 1e3, 1)

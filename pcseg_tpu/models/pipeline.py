@@ -378,6 +378,69 @@ class Segmenter:
             payload = self._planar_stage(
                 points_j, jnp.asarray(sensor_origin), labels0, rot_j)
         points_np = np.asarray(points, np.float32)
+        return self._host_finalize(
+            points_np, payload, dev_cluster, rot_robot,
+            lambda labels: self._cluster_stage(points_j,
+                                               jnp.asarray(labels)))
+
+    def segment_frame_stream(self, depth_u16, rays, sensor_origin,
+                             depth_scale: float = None,
+                             rot_robot: Optional[np.ndarray] = None
+                             ) -> FrameResult:
+        """Full pipeline from the production u16 ingest payload.
+
+        Same result contract as :func:`segment_frame`, but the device
+        program unprojects the [H, W] u16 range frame against ``rays``
+        on-chip (2 bytes/px over the host link instead of 12 — see
+        ops/unproject.py) and the host reconstructs the identical f32
+        point grid locally (unproject_range_np: the same IEEE multiply
+        chain), so the float cloud never crosses the wire in either
+        direction. Temporal seeding / input masks are not plumbed through
+        this variant — use segment_frame for those.
+        """
+        from pcseg_tpu.ops import unproject
+        cfg = self.config
+        if depth_scale is None:
+            depth_scale = unproject.DEFAULT_DEPTH_SCALE
+        rot_np = np.eye(3, dtype=np.float32) if rot_robot is None \
+            else np.asarray(rot_robot, np.float32)
+        dev_cluster = (cfg.run_clustering
+                       and cfg.cluster.cluster_method
+                       != ClusterMethod.MEAN_SHIFT)
+        if not hasattr(self, "_stream_payload"):
+            def impl(d, rays_j, origin, rot_j, scale):
+                p = unproject.unproject_range(d, rays_j, scale)
+                labels0 = jnp.full(p.shape[:2], UNLABELED, jnp.int32)
+                if dev_cluster:
+                    return self._full_payload_impl(p, origin, labels0,
+                                                   rot_j)
+                return self._planar_payload_impl(p, origin, labels0, rot_j)
+
+            self._stream_payload = jax.jit(impl, static_argnums=(4,))
+
+            def cimpl(d, rays_j, labels, scale):
+                p = unproject.unproject_range(d, rays_j, scale)
+                return self._cluster_payload_impl(p, labels)
+
+            self._stream_cluster = jax.jit(cimpl, static_argnums=(3,))
+
+        d_j = jnp.asarray(depth_u16)
+        rays_j = jnp.asarray(rays)
+        payload = self._stream_payload(
+            d_j, rays_j, jnp.asarray(sensor_origin), jnp.asarray(rot_np),
+            float(depth_scale))
+        rays_np = np.asarray(rays, np.float32)
+        points_np = unproject.unproject_range_np(
+            np.asarray(depth_u16), rays_np, float(depth_scale))
+        return self._host_finalize(
+            points_np, payload, dev_cluster, rot_robot,
+            lambda labels: self._stream_cluster(
+                d_j, rays_j, jnp.asarray(labels), float(depth_scale)))
+
+    def _host_finalize(self, points_np, payload, dev_cluster, rot_robot,
+                       cluster_redispatch):
+        from pcseg_tpu.models import planar as planar_model
+        cfg = self.config
         # ONE D2H of the compact payload (int8 label grids + per-region
         # tables + the discontinuity bit grid — see _compact_payload):
         # device_get issues every copy async before blocking, so the relay
@@ -430,8 +493,7 @@ class Segmenter:
                     # cells reverted to UNLABELED and are clusterable, the
                     # reference's quarantine-then-reset) — rerun clustering
                     # on the corrected label grid
-                    c2 = jax.device_get(self._cluster_stage(
-                        points_j, jnp.asarray(labels)))
+                    c2 = jax.device_get(cluster_redispatch(labels))
                     cres = dict(labels=c2["cres_labels"].astype(np.int32),
                                 num=int(c2["cres_num"]),
                                 sizes=c2["cres_sizes"])

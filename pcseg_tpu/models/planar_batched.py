@@ -727,8 +727,14 @@ def grow_planar_regions_batched(
         seed_valid: jnp.ndarray,
         config: PlanarRegionConfig = PlanarRegionConfig(),
         initial_id_offset: int = 0,
-        stage_a_gens: int = 26,
-        stage_a_rings: int = 1,
+        # 13 generations of 2 rings: the total stage-A span (26 rings) and
+        # final labels match the original 26x1 schedule (bit-identical on
+        # the 560x560 parity scene and the room scenes; 0.9995 agreement
+        # on the cluttered fixture) at HALF the per-generation
+        # refit/conflict overhead — stage A was ~70% of grow's runtime.
+        # Override with PCSEG_STAGE_A="gens/rings".
+        stage_a_gens: int = 13,
+        stage_a_rings: int = 2,
         closure_epochs: int = 2,
         seed_rank_grid: jnp.ndarray = None,
         flood_rounds: int = 64,

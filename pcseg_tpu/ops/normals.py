@@ -121,11 +121,12 @@ def _scan_direction(padded, padded_ok, center, dr, dc, k_max, min_d2,
     (algorithms.h:136-199): skip non-finite, accept the first neighbor with
     min_d2 <= ||p - center||^2 <= max_d2.
 
-    ``padded`` is the NaN-padded cloud from :func:`_pad_for_scan`. The k
-    loop is a ``fori_loop`` over one dynamic_slice per step — on-device
-    loop iterations are nearly free on TPU and keep the XLA:CPU compile
-    linear in 1, not k_max (a statically unrolled K=64 chain compiles
-    pathologically slowly there).
+    ``padded`` is the NaN-padded cloud. The k loop is a ``fori_loop`` over
+    one dynamic_slice per step — on-device loop iterations are nearly free
+    on TPU and keep the XLA:CPU compile linear in 1, not k_max (a
+    statically unrolled K=16 chain was tried and sent CPU compiles of the
+    composed pipeline programs to ~10 minutes — the known XLA:CPU
+    pad/slice-chain pathology, CLAUDE.md).
     """
     h, w = center.shape[0], center.shape[1]
     pk = (padded.shape[0] - h) // 2
@@ -255,6 +256,29 @@ def find_normal_support(points: jnp.ndarray,
                          center_valid=center_valid)
 
 
+def normals_from_support(support: NormalSupport, points: jnp.ndarray,
+                         sensor_origin: jnp.ndarray,
+                         params: ComputeNormalsParams) -> jnp.ndarray:
+    """Orient + solve the per-pixel plane fits of ``support``.
+
+    Split out of :func:`compute_normals_organized` so a column shard can
+    accumulate support over its halo'd block but run the (comparatively
+    expensive) eigensolve on LOCAL columns only (parallel/sharded.py)."""
+    # Orientation hint: sensor_origin - point (algorithms.h:354-355). The
+    # estimator is freshly cleared per pixel, so the hint fully determines
+    # the sign (plane_estimator.cc:121-125).
+    hint = sensor_origin - points
+    hint = jnp.where(nansafe.isfinite(hint), hint, 1.0)
+    moments = plane_fit.set_normal_orientation(support.moments, hint)
+
+    sol = plane_fit.solve(moments)
+
+    ok = (support.center_valid
+          & (support.count >= params.min_num_support_neighbors)
+          & sol.valid)
+    return jnp.where(ok[..., None], sol.normal, jnp.nan)
+
+
 def compute_normals_organized(
         points: jnp.ndarray,
         sensor_origin: jnp.ndarray,
@@ -280,20 +304,7 @@ def compute_normals_organized(
     """
     h, w = points.shape[0], points.shape[1]
     support = find_normal_support(points, params)
-
-    # Orientation hint: sensor_origin - point (algorithms.h:354-355). The
-    # estimator is freshly cleared per pixel, so the hint fully determines
-    # the sign (plane_estimator.cc:121-125).
-    hint = sensor_origin - points
-    hint = jnp.where(nansafe.isfinite(hint), hint, 1.0)
-    moments = plane_fit.set_normal_orientation(support.moments, hint)
-
-    sol = plane_fit.solve(moments)
-
-    ok = (support.center_valid
-          & (support.count >= params.min_num_support_neighbors)
-          & sol.valid)
-    normals = jnp.where(ok[..., None], sol.normal, jnp.nan)
+    normals = normals_from_support(support, points, sensor_origin, params)
 
     if row_range is not None or col_range is not None:
         r0, r1 = row_range if row_range is not None else (0, h)

@@ -58,3 +58,16 @@ def encode_range(points: np.ndarray,
     r = np.linalg.norm(points.astype(np.float64), axis=-1) / scale
     r = np.where(np.isfinite(r) & (r >= 1.0) & (r <= 65535.0), r, 0.0)
     return np.round(r).astype(np.uint16)
+
+
+def unproject_range_np(range_u16: np.ndarray, rays: np.ndarray,
+                       scale: float = DEFAULT_DEPTH_SCALE) -> np.ndarray:
+    """NumPy twin of :func:`unproject_range` — bit-identical f32 results.
+
+    Lets the full host pipeline (segment_frame_stream) reconstruct the
+    device's point grid from the SAME u16 payload instead of shipping
+    [H, W, 3] float32 across the host<->device link: both sides do the
+    identical IEEE f32 multiply chain."""
+    r = range_u16.astype(np.float32) * np.float32(scale)
+    r = np.where(range_u16 > 0, r, np.float32(np.nan))
+    return (r[..., None] * rays).astype(np.float32)

@@ -82,11 +82,16 @@ def sharded_normals(points_local, sensor_origin,
 
     Needs halo = max_scan_steps columns; a NaN halo at the true grid edges
     reproduces the single-device edge semantics (the scan just never finds
-    a neighbor there)."""
+    a neighbor there). The directional-scan moments must be accumulated
+    over the halo'd block, but the eigensolve — the expensive half — runs
+    on LOCAL columns only (the support pytree is cropped first); solving
+    halo columns too was pure duplicated work across shards."""
     k = params.max_scan_steps
     padded = exchange_halo(points_local, k, axis, fill=jnp.nan)
-    nrm = normals_op.compute_normals_organized(padded, sensor_origin, params)
-    return crop_halo(nrm, k)
+    support = normals_op.find_normal_support(padded, params)
+    support = jax.tree.map(lambda x: crop_halo(x, k), support)
+    return normals_op.normals_from_support(support, points_local,
+                                           sensor_origin, params)
 
 
 def sharded_plane_support_seeds(points_local, normals_local,

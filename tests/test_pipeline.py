@@ -315,3 +315,29 @@ class TestDeviceDiscontinuityFlags:
 
 
 import jax  # noqa: E402  (used by TestDeviceDiscontinuityFlags)
+
+
+class TestSegmentFrameStream:
+    def test_equals_classic_on_same_u16(self):
+        """segment_frame_stream (u16 device ingest + host unproject twin)
+        must produce the identical FrameResult to segment_frame on the
+        same payload — both sides run the same IEEE f32 multiply chain."""
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.ops import unproject
+        from pcseg_tpu.utils.synthetic import synthetic_cluttered_room_cloud
+
+        H, W = 96, 128
+        pts, origin = synthetic_cluttered_room_cloud(H, W, f=float(H),
+                                                     seed=5)
+        rays = unproject.camera_ray_table(H, W, f=float(H))
+        d16 = unproject.encode_range(pts)
+        seg = pipeline.Segmenter()
+        a = seg.segment_frame(unproject.unproject_range_np(d16, rays),
+                              origin)
+        b = seg.segment_frame_stream(d16, rays, origin)
+        assert a.metrics == b.metrics
+        np.testing.assert_array_equal(a.labels, b.labels)
+        assert len(a.objects) == len(b.objects)
+        for oa, ob in zip(a.objects, b.objects):
+            np.testing.assert_array_equal(oa.points, ob.points)
+            assert oa.object_class == ob.object_class

@@ -79,3 +79,26 @@ class TestBatchedStreaming:
         # per-frame results match the unbatched forward
         f0, n0, d0, c0 = seg.device_forward(batch[0], origins[0])
         np.testing.assert_array_equal(np.asarray(final[0]), np.asarray(f0))
+
+
+def test_mean_shift_blobs_at_supportable_cell_size():
+    """Config-3 regression: at 0.5 m cells the reference's >=50-support
+    window gate is unsatisfiable (<=25 cells within the 1 m distance gate)
+    and every mode dies; 0.125 m cells must find all four blobs with the
+    bulk of their points."""
+    import numpy as np
+    from pcseg_tpu.models import unorganized
+    from pcseg_tpu.models.config import ClusterRegionConfig
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        c + rng.normal(0, 0.4, (8_000, 3)).astype(np.float32)
+        for c in np.array([[0, 0, 0], [30, 0, 0], [0, 35, 0], [40, 40, 0]],
+                          np.float32)])
+    r = unorganized.cluster_unorganized_mean_shift(
+        pts, ClusterRegionConfig(), cell_size=0.125, grid_shape=(512, 512),
+        iterations=5)
+    n = int(np.asarray(r.num_regions))
+    assert n == 4, n
+    sizes = np.asarray(r.region_sizes)[:n]
+    assert (sizes > 7_000).all(), sizes
