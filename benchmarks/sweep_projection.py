@@ -66,8 +66,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=None,
                     help="single-chip points/s (default: bench artifact)")
-    ap.add_argument("--h", type=int, default=96)
-    ap.add_argument("--w", type=int, default=128)
+    # 192x256 shards to W_local=32 at n=8 — the narrowest slice that is
+    # representative of the actual config-5 deployment (VGA frames shard
+    # to W_local=80): at the old 96x128 default, W_local=16 makes the
+    # normals halo (+-max_scan_steps=16 columns) a 3x duplication by
+    # construction and the measured overhead says more about the harness
+    # than the design. Both grids are recorded in the artifact.
+    ap.add_argument("--h", type=int, default=192)
+    ap.add_argument("--w", type=int, default=256)
     args = ap.parse_args()
 
     global jax
@@ -122,13 +128,27 @@ def main():
         "model": "R(n) = R1 * n / overhead(n); overhead = strong-scaling "
                  "work ratio on the virtual 8-dev CPU mesh (same grid, "
                  "same cores => isolates duplicated/replicated work); "
-                 "ICI wire time analytic and negligible at VGA",
+                 "ICI wire time analytic and negligible at VGA. Grid "
+                 "192x256 shards to W_local=32 at n=8 (the config-5 "
+                 "deployment shards VGA to W_local=80; narrower harness "
+                 "shards overstate halo duplication by construction).",
         "single_chip_points_per_sec": rate1 if rate1 == rate1 else None,
         "grid": [h, w],
         "single_device_seconds_cpu": round(t_single, 4),
         "analytic_collective_seconds_per_frame": collective_s,
         "projection": proj,
     }
+    # keep prior grids' projections side by side (artifact records both
+    # the legacy 96x128 harness and the representative default)
+    prior = {}
+    try:
+        with open(OUT) as f:
+            prior = json.load(f).get("by_grid", {})
+    except Exception:
+        pass
+    prior[f"{h}x{w}"] = {"single_device_seconds_cpu": round(t_single, 4),
+                         "projection": proj}
+    result["by_grid"] = prior
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

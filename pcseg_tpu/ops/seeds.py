@@ -231,10 +231,40 @@ def plane_support_rank_grid(count, qualifies, h, w, cmax):
     lin_idx = cols * h + rows
     hw = h * w
     rank = (cmax - count) * hw + (hw - 1 - lin_idx)
-    flat_cm = jnp.full((hw,), SEED_RANK_INF, jnp.int32)
-    flat_cm = flat_cm.at[jnp.clip(lin_idx, 0, hw - 1).reshape(-1)].min(
-        jnp.where(qualifies, rank, SEED_RANK_INF).reshape(-1))
-    return jnp.swapaxes(flat_cm.reshape(w, h), 0, 1)
+    vals = jnp.where(qualifies, rank, SEED_RANK_INF)
+    # The scatter this used to do has a closed form (several ms/frame on
+    # TPU saved). NATURAL orientation (count shaped [h, w]): position
+    # (r, c) lands back at (r, c) — the identity. TRANSPOSED-parity
+    # orientation (count shaped [w, h], the reference's quirk): position
+    # (a, b) emits col-major index b*h + a, so natural cell (r, c)
+    # receives contributions from (a, b) = (r + k*h, c - k) for every
+    # k >= 0 in range — on square grids exactly k=0 (a plain relayout),
+    # on non-square grids a min over ceil(w/h) shifted planes (mirroring
+    # the reference's own out-of-bounds index arithmetic, module
+    # docstring), plus the old code's clip: emitted indices >= h*w all
+    # min-folded into the last cell.
+    if count.shape == (h, w):
+        return vals
+    assert count.shape == (w, h), (count.shape, h, w)
+    hw = h * w
+    out = jnp.full((h, w), SEED_RANK_INF, jnp.int32)
+    inf = jnp.asarray(SEED_RANK_INF, jnp.int32)
+    for k in range(-(-w // h)):
+        # term[r, c] = vals[r + k*h, c - k] (out of range -> INF)
+        r0 = k * h
+        rows_avail = min(h, w - r0)
+        cols_keep = min(h, w - k)       # c = k + b must stay < w
+        if rows_avail <= 0 or cols_keep <= 0:
+            break
+        block = vals[r0:r0 + rows_avail, :cols_keep]
+        padded = jnp.pad(block,
+                         ((0, h - rows_avail), (k, w - k - cols_keep)),
+                         constant_values=inf)
+        out = jnp.minimum(out, padded)
+    if (h - 1) * h + (w - 1) >= hw:  # clip engaged (tall grids)
+        clipped = jnp.min(jnp.where(lin_idx >= hw, vals, inf))
+        out = out.at[h - 1, w - 1].min(clipped)
+    return out
 
 
 def append_temporal_to_rank_grid(rank_grid, t_idx, t_found):

@@ -85,3 +85,38 @@ class TestAverageNormalSeeds:
         got = np.asarray(got_list)[np.asarray(got_valid)]
         want = oracle.find_seed_points_from_average_normals(pts, normals)
         np.testing.assert_array_equal(got, np.asarray(want, np.int32))
+
+
+def test_rank_grid_closed_form_matches_scatter():
+    """plane_support_rank_grid's scatter-free closed form must equal the
+    original scatter formulation on every layout: natural, square
+    transposed, wide/tall transposed (incl. the clip-into-last-cell case
+    of tall grids)."""
+    import jax
+    import jax.numpy as jnp
+    from pcseg_tpu.ops import seeds as seeds_op
+
+    def scatter_impl(count, qualifies, h, w, cmax):
+        rows = jax.lax.broadcasted_iota(jnp.int32, count.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, count.shape, 1)
+        lin_idx = cols * h + rows
+        hw = h * w
+        rank = (cmax - count) * hw + (hw - 1 - lin_idx)
+        flat = jnp.full((hw,), seeds_op.SEED_RANK_INF, jnp.int32)
+        flat = flat.at[jnp.clip(lin_idx, 0, hw - 1).reshape(-1)].min(
+            jnp.where(qualifies, rank,
+                      seeds_op.SEED_RANK_INF).reshape(-1))
+        return jnp.swapaxes(flat.reshape(w, h), 0, 1)
+
+    rng = np.random.default_rng(0)
+    for (h, w, transposed) in [(24, 24, True), (20, 28, False),
+                               (20, 28, True), (28, 20, True),
+                               (7, 30, True), (30, 7, True)]:
+        shape = (w, h) if transposed else (h, w)
+        count = rng.integers(0, 82, shape).astype(np.int32)
+        qual = rng.random(shape) < 0.5
+        a = np.asarray(scatter_impl(jnp.asarray(count), jnp.asarray(qual),
+                                    h, w, 83))
+        b = np.asarray(seeds_op.plane_support_rank_grid(
+            jnp.asarray(count), jnp.asarray(qual), h, w, 83))
+        np.testing.assert_array_equal(a, b, err_msg=str((h, w, transposed)))
