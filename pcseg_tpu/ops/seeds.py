@@ -171,8 +171,8 @@ def plane_support_counts(points, normals, params):
     quirk) and via transposed inputs for reference parity."""
     finite_pts = nansafe.all_finite(points)
     center_ok = finite_pts & nansafe.all_finite(normals)
-    d = -jnp.sum(normals * points, axis=-1)
     half = params.neighborhood_size // 2
+    d = -jnp.sum(normals * points, axis=-1)
     count = jnp.zeros(points.shape[:2], jnp.int32)
     for dr in range(-half, half + 1):
         for dc in range(-half, half + 1):

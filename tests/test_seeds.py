@@ -120,3 +120,4 @@ def test_rank_grid_closed_form_matches_scatter():
         b = np.asarray(seeds_op.plane_support_rank_grid(
             jnp.asarray(count), jnp.asarray(qual), h, w, 83))
         np.testing.assert_array_equal(a, b, err_msg=str((h, w, transposed)))
+
