@@ -425,11 +425,20 @@ class Segmenter:
             self._stream_cluster = jax.jit(cimpl, static_argnums=(3,))
 
         d_j = jnp.asarray(depth_u16)
-        rays_j = jnp.asarray(rays)
+        # the ray table is per-camera-intrinsics constant: keep it resident
+        # on device (re-uploading [H, W, 3] f32 per frame costs ~90 ms
+        # through the relay tunnel — measured as the u16 variant running
+        # SLOWER than the f32 one)
+        cache = getattr(self, "_rays_device", None)
+        if cache is None or cache[0] is not rays:
+            cache = (rays, jnp.asarray(rays))
+            self._rays_device = cache
+        rays_j = cache[1]
         payload = self._stream_payload(
             d_j, rays_j, jnp.asarray(sensor_origin), jnp.asarray(rot_np),
             float(depth_scale))
-        rays_np = np.asarray(rays, np.float32)
+        rays_np = rays if isinstance(rays, np.ndarray) \
+            else np.asarray(rays, np.float32)
         points_np = unproject.unproject_range_np(
             np.asarray(depth_u16), rays_np, float(depth_scale))
         return self._host_finalize(
