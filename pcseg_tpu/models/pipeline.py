@@ -230,7 +230,8 @@ class Segmenter:
                                      cres)
 
     def _cluster_payload_impl(self, points, labels):
-        cres = self._cluster_stage_impl(points, labels)
+        # callers may ship labels as int8 over the link (ids < 128)
+        cres = self._cluster_stage_impl(points, labels.astype(jnp.int32))
         return dict(cres_labels=cres.labels.astype(jnp.int8),
                     cres_num=cres.num_regions, cres_sizes=cres.region_sizes)
 
@@ -378,10 +379,11 @@ class Segmenter:
             payload = self._planar_stage(
                 points_j, jnp.asarray(sensor_origin), labels0, rot_j)
         points_np = np.asarray(points, np.float32)
+        # re-dispatch labels travel as int8 (ids < 128, sentinels >= -5)
         return self._host_finalize(
             points_np, payload, dev_cluster, rot_robot,
-            lambda labels: self._cluster_stage(points_j,
-                                               jnp.asarray(labels)))
+            lambda labels: self._cluster_stage(
+                points_j, jnp.asarray(labels.astype(np.int8))))
 
     def segment_frame_stream(self, depth_u16, rays, sensor_origin,
                              depth_scale: float = None,
@@ -418,9 +420,10 @@ class Segmenter:
 
             self._stream_payload = jax.jit(impl, static_argnums=(4,))
 
-            def cimpl(d, rays_j, labels, scale):
+            def cimpl(d, rays_j, labels_i8, scale):
                 p = unproject.unproject_range(d, rays_j, scale)
-                return self._cluster_payload_impl(p, labels)
+                return self._cluster_payload_impl(
+                    p, labels_i8.astype(jnp.int32))
 
             self._stream_cluster = jax.jit(cimpl, static_argnums=(3,))
 
@@ -441,10 +444,13 @@ class Segmenter:
             else np.asarray(rays, np.float32)
         points_np = unproject.unproject_range_np(
             np.asarray(depth_u16), rays_np, float(depth_scale))
+        # re-dispatch labels travel as int8 (region ids < 128 by the
+        # static max_regions bounds; sentinels >= -5)
         return self._host_finalize(
             points_np, payload, dev_cluster, rot_robot,
             lambda labels: self._stream_cluster(
-                d_j, rays_j, jnp.asarray(labels), float(depth_scale)))
+                d_j, rays_j, jnp.asarray(labels.astype(np.int8)),
+                float(depth_scale)))
 
     def _host_finalize(self, points_np, payload, dev_cluster, rot_robot,
                        cluster_redispatch):
