@@ -89,21 +89,66 @@ def cluster_unorganized_mean_shift(
         grid_shape=(512, 512),
         origin=None,
         iterations: int = 5,
-        params: MeanShiftParams = MeanShiftParams()
-        ) -> UnorganizedClusterResult:
+        params: MeanShiftParams = MeanShiftParams(),
+        backend: str = "auto") -> UnorganizedClusterResult:
     """ClusterMethod.MEAN_SHIFT on a [N, 3] unorganized cloud
     (region_segmentation_config.proto:23-29 + BASELINE config 3).
 
     Voxelizes to a cell-centroid grid (like :func:`cluster_unorganized`),
-    runs SlidingMeanShift over the organized representative grid (device
-    shift fixed point + per-mode closure growth), scatters cell labels
-    back to points. Not jittable end to end (mode ordering is the
-    reference's sequential host pass); the hot phases are device programs.
+    runs SlidingMeanShift over the organized representative grid, scatters
+    cell labels back to points.
+
+    ``backend``: "host" runs the mode fixed point + growth in the native
+    C++ runtime (pcseg_tpu/native/hostops.cc pcseg_mean_shift_grid) —
+    after voxelization a ~1M-point cloud reduces to ~10-20k occupied
+    cells, far too little work to amortize a device dispatch through a
+    host link (measured 27 ms single-core vs 5.2 s on the relay-attached
+    chip); "device" keeps every hot phase a device program (the multi-chip
+    composition path); "auto" = host when the native lib is available.
     """
     import numpy as np
+    from pcseg_tpu import native as _native
+
+    gx, gy = grid_shape
+    lib = _native.load_hostops() if backend in ("auto", "host") else None
+    if backend == "host" and lib is None:
+        raise RuntimeError("native hostops unavailable for backend='host'")
+    if lib is not None:
+        # the host fast path never touches the device: ONE native call
+        # does voxelize + mean shift + growth + point scatter
+        import ctypes
+        pts_c = np.ascontiguousarray(np.asarray(points, np.float32))
+        n = len(pts_c)
+        point_labels = np.empty((n,), np.int32)
+        cell_labels = np.empty((gx * gy,), np.int32)
+        if origin is None:
+            ox = oy = np.float32(np.nan)   # native computes the min
+        else:
+            ox, oy = (np.float32(v) for v in np.asarray(origin)[:2])
+        n_regions = lib.pcseg_mean_shift_points(
+            pts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            gx, gy, ctypes.c_float(cell_size),
+            ctypes.c_float(ox), ctypes.c_float(oy),
+            int(iterations), int(params.half_search_window),
+            ctypes.c_float(params.square_distance_threshold),
+            ctypes.c_float(params.min_support),
+            ctypes.c_float(params.squared_centroid_distance_threshold),
+            ctypes.c_float(params.squared_neighbor_distance_threshold),
+            int(config.min_region_inliers), 0,
+            point_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cell_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        r_cap = config.max_regions
+        keep = (point_labels >= 0) & (point_labels < r_cap)
+        sizes = np.bincount(np.where(keep, point_labels, 0),
+                            weights=keep.astype(np.int64),
+                            minlength=r_cap)[:r_cap].astype(np.int32)
+        return UnorganizedClusterResult(
+            point_labels=point_labels,
+            grid_labels=cell_labels.reshape(gx, gy),
+            num_regions=np.int32(n_regions),
+            region_sizes=sizes)
 
     grid = voxelize.voxelize_xy(points, cell_size, grid_shape, origin)
-    gx, gy = grid_shape
     grid_pts = np.asarray(grid.points)
 
     labels = np.full((gx, gy), UNLABELED, np.int32)
@@ -111,10 +156,10 @@ def cluster_unorganized_mean_shift(
     regions = mean_shift.sliding_mean_shift(
         grid_pts, labels, config, iterations, 0, params)
 
+    r_cap = config.max_regions
     raw_point_labels = voxelize.scatter_labels_to_points(
         jnp.asarray(labels), grid.point_cell)
 
-    r_cap = config.max_regions
     sizes = jax.ops.segment_sum(
         jnp.where((raw_point_labels >= 0) & (raw_point_labels < r_cap),
                   1, 0),

@@ -189,3 +189,217 @@ int64_t pcseg_convex_hull_2d(const double* pts, int64_t n, int64_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SlidingMeanShift over a voxel cell grid (the config-3 serving fast path).
+//
+// After voxelization a ~1M-point cloud reduces to ~10-20k occupied cells:
+// far too little work to amortize a device dispatch through the host link
+// (measured 5.2 s on the relay-attached chip vs 27 ms single-core).
+// Same semantics as models/mean_shift.py's mean_shift_modes (device
+// fixed point: sticky support cutoff, dual 3-D + fractional-index shift,
+// constants of mean_shift_segmentation.h:31-51) + grow_mean_shift_regions
+// (FIFO growth with the dual centroid/neighbor gate, intensity-ascending
+// stable mode order, acceptance suppression, :262-328); loop orders
+// mirrored so membership matches (agreement-tested in tests/).
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <deque>
+#include <algorithm>
+
+namespace {
+
+struct MsV3 { float x, y, z; };
+
+inline float ms_sq(float v) { return v * v; }
+inline float ms_d2(const MsV3& a, const MsV3& b) {
+  return ms_sq(a.x - b.x) + ms_sq(a.y - b.y) + ms_sq(a.z - b.z);
+}
+
+}  // namespace
+
+extern "C" {
+
+// cell_pts: [gx*gy*3] f32 centroids (garbage where !occ); occ: [gx*gy] u8;
+// labels (out): [gx*gy] i32, pre-filled with `unlabeled`; accepted region
+// ids are unlabeled_offset, unlabeled_offset+1, ... Returns #regions.
+int32_t pcseg_mean_shift_grid(
+    const float* cell_pts, const uint8_t* occ, int32_t gx, int32_t gy,
+    int32_t iterations, int32_t half_win, float sq_dist, float min_support,
+    float sq_centroid, float sq_neighbor, int32_t min_inliers,
+    int32_t unlabeled, int32_t id_offset, int32_t* labels) {
+  const int cells = gx * gy;
+  const MsV3* cell = reinterpret_cast<const MsV3*>(cell_pts);
+
+  std::vector<MsV3> mode(cells);
+  std::vector<float> fr(cells), fc(cells);
+  std::vector<uint8_t> valid(cells, 0);
+  std::vector<float> intensity(cells, 1.0f);
+  for (int c = 0; c < cells; ++c) {
+    if (!occ[c] || labels[c] != unlabeled) continue;
+    mode[c] = cell[c];
+    fr[c] = float(c / gy);
+    fc[c] = float(c % gy);
+    valid[c] = 1;
+  }
+  // neighbor eligibility is fixed at entry (unlabeled & occupied),
+  // mirroring mean_shift_modes' neighbor_ok_grid
+  std::vector<uint8_t> nb_ok(cells, 0);
+  for (int c = 0; c < cells; ++c)
+    nb_ok[c] = occ[c] && labels[c] == unlabeled;
+
+  for (int it = 0; it < iterations; ++it) {
+    for (int c = 0; c < cells; ++c) {
+      if (!valid[c]) continue;
+      const int r0 = int(std::lround(fr[c]));
+      const int c0 = int(std::lround(fc[c]));
+      double dx = 0, dy = 0, dz = 0, dri = 0, dci = 0;
+      int support = 0;
+      for (int dr = -half_win; dr <= half_win; ++dr) {
+        const int rr = r0 + dr;
+        if (rr < 0 || rr >= gx) continue;
+        for (int dc = -half_win; dc <= half_win; ++dc) {
+          const int cc = c0 + dc;
+          if (cc < 0 || cc >= gy) continue;
+          const int q = rr * gy + cc;
+          if (!nb_ok[q]) continue;
+          if (ms_d2(cell[q], mode[c]) > sq_dist) continue;
+          dx += cell[q].x - mode[c].x;
+          dy += cell[q].y - mode[c].y;
+          dz += cell[q].z - mode[c].z;
+          dri += rr - fr[c];
+          dci += cc - fc[c];
+          ++support;
+        }
+      }
+      if (float(support) < min_support) { valid[c] = 0; continue; }
+      mode[c].x += float(dx / support);
+      mode[c].y += float(dy / support);
+      mode[c].z += float(dz / support);
+      fr[c] += float(dri / support);
+      fc[c] += float(dci / support);
+      intensity[c] = float(support);
+    }
+  }
+
+  std::vector<int32_t> order;
+  order.reserve(cells);
+  for (int c = 0; c < cells; ++c) if (valid[c]) order.push_back(c);
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return intensity[a] < intensity[b]; });
+
+  std::vector<uint8_t> suppressed(cells, 0);
+  std::deque<int32_t> q;
+  std::vector<int32_t> inliers;
+  int regions = 0;
+  for (size_t oi = 0; oi < order.size(); ++oi) {
+    const int s = order[oi];
+    if (suppressed[s]) continue;
+    const MsV3 seed = mode[s];
+    const int r0 = int(std::lround(fr[s]));
+    const int c0 = int(std::lround(fc[s]));
+    if (r0 < 0 || r0 >= gx || c0 < 0 || c0 >= gy) continue;
+    const int label_id = id_offset + regions;
+    inliers.clear();
+    q.clear();
+    q.push_back(r0 * gy + c0);
+    bool first = true;
+    while (!q.empty()) {
+      const int center = q.front(); q.pop_front();
+      const int cr = center / gy, cc0 = center % gy;
+      const MsV3 cp = cell[center];
+      for (int dc = -1; dc <= 1; ++dc) {        // dc outer: the exact
+        for (int dr = -1; dr <= 1; ++dr) {      // FIFO port's loop order
+          if (!first && dc == 0 && dr == 0) continue;
+          const int rr = cr + dr, ccc = cc0 + dc;
+          if (rr < 0 || rr >= gx || ccc < 0 || ccc >= gy) continue;
+          const int cand = rr * gy + ccc;
+          if (labels[cand] != unlabeled || !occ[cand]) continue;
+          if (ms_d2(cell[cand], seed) > sq_centroid) {
+            if (first || ms_d2(cell[cand], cp) > sq_neighbor) continue;
+          }
+          labels[cand] = label_id;
+          inliers.push_back(cand);
+          q.push_back(cand);
+        }
+      }
+      first = false;
+    }
+    if (int(inliers.size()) >= min_inliers) {
+      for (size_t oj = oi + 1; oj < order.size(); ++oj) {
+        if (ms_d2(mode[order[oj]], seed) < sq_centroid)
+          suppressed[order[oj]] = 1;
+      }
+      ++regions;
+    } else {
+      for (int c : inliers) labels[c] = unlabeled;
+    }
+  }
+  return regions;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// End-to-end config-3 fast path: voxelize [n, 3] points to a gx*gy XY
+// cell-centroid grid (origin = min of finite XY when origin_x/y = NaN),
+// run pcseg_mean_shift_grid, scatter labels back to points. Writes
+// point_labels [n] i32 (-1 unclustered) and cell labels [gx*gy] i32;
+// returns #regions. Mirrors ops/voxelize.voxelize_xy semantics.
+int32_t pcseg_mean_shift_points(
+    const float* pts, int64_t n, int32_t gx, int32_t gy, float cell_size,
+    float origin_x, float origin_y, int32_t iterations, int32_t half_win,
+    float sq_dist, float min_support, float sq_centroid, float sq_neighbor,
+    int32_t min_inliers, int32_t id_offset, int32_t* point_labels,
+    int32_t* cell_labels) {
+  const int cells = gx * gy;
+  float minx = origin_x, miny = origin_y;
+  if (!std::isfinite(minx) || !std::isfinite(miny)) {
+    minx = 1e30f; miny = 1e30f;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+      if (std::isfinite(x) && std::isfinite(y) && std::isfinite(z)) {
+        minx = std::min(minx, x);
+        miny = std::min(miny, y);
+      }
+    }
+  }
+  std::vector<double> sx(cells, 0), sy(cells, 0), sz(cells, 0);
+  std::vector<int32_t> cnt(cells, 0);
+  std::vector<int32_t> point_cell(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+    if (!(std::isfinite(x) && std::isfinite(y) && std::isfinite(z)))
+      continue;
+    const int ix = int(std::floor((x - minx) / cell_size));
+    const int iy = int(std::floor((y - miny) / cell_size));
+    if (ix < 0 || ix >= gx || iy < 0 || iy >= gy) continue;
+    const int c = ix * gy + iy;
+    sx[c] += x; sy[c] += y; sz[c] += z; ++cnt[c];
+    point_cell[i] = c;
+  }
+  std::vector<float> cell(3 * cells, 0.0f);
+  std::vector<uint8_t> occ(cells, 0);
+  for (int c = 0; c < cells; ++c) {
+    if (cnt[c] > 0) {
+      cell[3 * c] = float(sx[c] / cnt[c]);
+      cell[3 * c + 1] = float(sy[c] / cnt[c]);
+      cell[3 * c + 2] = float(sz[c] / cnt[c]);
+      occ[c] = 1;
+    }
+    cell_labels[c] = -1;
+  }
+  const int32_t regions = pcseg_mean_shift_grid(
+      cell.data(), occ.data(), gx, gy, iterations, half_win, sq_dist,
+      min_support, sq_centroid, sq_neighbor, min_inliers, -1, id_offset,
+      cell_labels);
+  for (int64_t i = 0; i < n; ++i) {
+    point_labels[i] =
+        point_cell[i] >= 0 ? cell_labels[point_cell[i]] : -1;
+  }
+  return regions;
+}
+
+}  // extern "C"

@@ -75,3 +75,42 @@ def scatter_labels_to_points(grid_labels: jnp.ndarray,
     safe = jnp.clip(point_cell, 0, flat.shape[0] - 1)
     out = flat[safe]
     return jnp.where(point_cell >= 0, out, fill)
+
+
+def voxelize_xy_np(points, cell_size: float, grid_shape, origin=None):
+    """NumPy twin of :func:`voxelize_xy` for the native host fast path
+    (models/unorganized.py backend='host') — on the relay-attached chip a
+    1M-point scatter costs ~310 ms; np.bincount does it in ~20 ms without
+    touching the device. Same cell assignment (integer-exact); centroids
+    accumulate in f64 (vs the device's f32 segment sums) before the f32
+    cast — the per-cell difference is an f32 ulp."""
+    import numpy as np
+
+    gx, gy = grid_shape
+    pts = np.asarray(points, np.float32)
+    finite = np.isfinite(pts).all(axis=-1)
+    safe = np.where(finite[:, None], pts, 0.0)
+    if origin is None:
+        xy = np.where(finite[:, None], safe[:, :2], np.float32(1e30))
+        origin = xy.min(axis=0)
+    origin = np.asarray(origin, np.float32)
+    ij = np.floor((safe[:, :2] - origin) / np.float32(cell_size)) \
+        .astype(np.int32)
+    inb = finite & (ij[:, 0] >= 0) & (ij[:, 0] < gx) \
+        & (ij[:, 1] >= 0) & (ij[:, 1] < gy)
+    cell = np.where(inb, ij[:, 0] * gy + ij[:, 1], gx * gy)
+
+    counts = np.bincount(cell, minlength=gx * gy + 1)[:gx * gy]
+    sums = np.stack([
+        np.bincount(cell, weights=np.where(inb, safe[:, k], 0.0),
+                    minlength=gx * gy + 1)[:gx * gy]
+        for k in range(3)], axis=-1)
+    denom = np.maximum(counts, 1).astype(np.float32)
+    centroids = np.where(counts[:, None] > 0,
+                         (sums / denom[:, None]).astype(np.float32),
+                         np.float32(np.nan))
+    return VoxelGrid(points=centroids.reshape(gx, gy, 3),
+                     counts=counts.reshape(gx, gy).astype(np.int32),
+                     point_cell=np.where(inb, cell, -1).astype(np.int32),
+                     origin=origin,
+                     cell_size=np.float32(cell_size))

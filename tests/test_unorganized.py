@@ -99,6 +99,53 @@ def test_mean_shift_blobs_at_supportable_cell_size():
         pts, ClusterRegionConfig(), cell_size=0.125, grid_shape=(512, 512),
         iterations=5)
     n = int(np.asarray(r.num_regions))
-    assert n == 4, n
-    sizes = np.asarray(r.region_sizes)[:n]
-    assert (sizes > 7_000).all(), sizes
+    # the default (native host) path follows the reference's exact FIFO
+    # growth, which also accepts one small satellite mode at this density
+    # (the device closure path misses it - documented divergence)
+    assert n in (4, 5), n
+    sizes = np.sort(np.asarray(r.region_sizes)[:n])[::-1]
+    assert (sizes[:4] > 7_000).all(), sizes
+
+
+def test_mean_shift_host_backend_matches_exact_port():
+    """The native host fast path (hostops.pcseg_mean_shift_points) must
+    reproduce the EXACT Python FIFO port (sliding_mean_shift
+    growth='host') on the voxel grid — it mirrors mean_shift_modes +
+    grow_mean_shift_regions loop orders. (The device closure growth is a
+    separately documented divergence: it misses one small satellite mode
+    at this density.)"""
+    import numpy as np
+    from pcseg_tpu import native
+    from pcseg_tpu.models import mean_shift, unorganized
+    from pcseg_tpu.ops import voxelize
+    from pcseg_tpu.models.config import ClusterRegionConfig, UNLABELED
+
+    if native.load_hostops() is None:
+        import pytest
+        pytest.skip("native hostops unavailable")
+
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        c + rng.normal(0, 0.4, (8_000, 3)).astype(np.float32)
+        for c in np.array([[0, 0, 0], [30, 0, 0], [0, 35, 0], [40, 40, 0]],
+                          np.float32)])
+    cfg = ClusterRegionConfig()
+    grid = voxelize.voxelize_xy_np(pts, 0.125, (512, 512))
+    ref_labels = np.full((512, 512), UNLABELED, np.int32)
+    regs = mean_shift.sliding_mean_shift(
+        np.asarray(grid.points), ref_labels, cfg, 5, 0, growth="host")
+
+    b = unorganized.cluster_unorganized_mean_shift(
+        pts, cfg, cell_size=0.125, grid_shape=(512, 512), iterations=5,
+        backend="host")
+    assert int(np.asarray(b.num_regions)) == len(regs)
+    agree = (np.asarray(b.grid_labels) == ref_labels).mean()
+    assert agree > 0.9999, agree
+
+    # the device path agrees on the four real blobs (its documented
+    # closure divergence may drop small satellites)
+    a = unorganized.cluster_unorganized_mean_shift(
+        pts, cfg, cell_size=0.125, grid_shape=(512, 512), iterations=5,
+        backend="device")
+    la, lb = np.asarray(a.point_labels), np.asarray(b.point_labels)
+    assert (la == lb).mean() > 0.99, (la == lb).mean()
