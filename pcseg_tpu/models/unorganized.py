@@ -82,6 +82,57 @@ def cluster_unorganized(points: jnp.ndarray,
         region_sizes=sizes)
 
 
+def cluster_unorganized_host(points,
+                             config: ClusterRegionConfig
+                             = ClusterRegionConfig(),
+                             cell_size: float = 0.25,
+                             grid_shape=(512, 512),
+                             origin=None) -> UnorganizedClusterResult:
+    """Native host fast path of :func:`cluster_unorganized` (NOT jittable).
+
+    One call into hostops.pcseg_cluster_unorganized does voxelize +
+    union-find CCL + point-count gate + scatter: after voxelization the
+    work is ~15k cells — too little to amortize a device dispatch through
+    a host link (the device path costs ~415 ms on the relay-attached chip
+    vs ~30 ms here). Ids and labels are identical to the device path
+    (ascending min-root order; equality-tested)."""
+    import ctypes
+    import numpy as np
+    from pcseg_tpu import native as _native
+
+    lib = _native.load_hostops()
+    if lib is None:
+        raise RuntimeError("native hostops unavailable")
+    gx, gy = grid_shape
+    pts_c = np.ascontiguousarray(np.asarray(points, np.float32))
+    n = len(pts_c)
+    point_labels = np.empty((n,), np.int32)
+    cell_labels = np.empty((gx * gy,), np.int32)
+    if origin is None:
+        ox = oy = np.float32(np.nan)
+    else:
+        ox, oy = (np.float32(v) for v in np.asarray(origin)[:2])
+    n_regions = lib.pcseg_cluster_unorganized(
+        pts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        gx, gy, ctypes.c_float(cell_size),
+        ctypes.c_float(ox), ctypes.c_float(oy),
+        int(config.half_search_window),
+        ctypes.c_float(config.squared_distance_threshold),
+        int(config.min_region_inliers),
+        point_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cell_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    r_cap = config.max_regions
+    keep = (point_labels >= 0) & (point_labels < r_cap)
+    sizes = np.bincount(np.where(keep, point_labels, 0),
+                        weights=keep.astype(np.int64),
+                        minlength=r_cap)[:r_cap].astype(np.int32)
+    return UnorganizedClusterResult(
+        point_labels=point_labels,
+        grid_labels=cell_labels.reshape(gx, gy),
+        num_regions=np.int32(n_regions),
+        region_sizes=sizes)
+
+
 def cluster_unorganized_mean_shift(
         points,
         config: ClusterRegionConfig = ClusterRegionConfig(),

@@ -403,3 +403,103 @@ int32_t pcseg_mean_shift_points(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Euclidean clustering of an unorganized cloud via the voxel grid (the
+// config-3 euclidean fast path; mirrors models/unorganized.py
+// cluster_unorganized semantics exactly): voxelize, union-find over the
+// (2w+1)^2 window edges gated by ||cell_i - cell_j||^2 < sq_dist, dense
+// component ids in ascending min-root (col-major) order, size gate on
+// POINT counts, labels scattered to points. Returns #regions.
+int32_t pcseg_cluster_unorganized(
+    const float* pts, int64_t n, int32_t gx, int32_t gy, float cell_size,
+    float origin_x, float origin_y, int32_t half_win, float sq_dist,
+    int32_t min_point_inliers, int32_t* point_labels,
+    int32_t* cell_labels) {
+  const int cells = gx * gy;
+  float minx = origin_x, miny = origin_y;
+  if (!std::isfinite(minx) || !std::isfinite(miny)) {
+    minx = 1e30f; miny = 1e30f;
+    for (int64_t i = 0; i < n; ++i) {
+      const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+      if (std::isfinite(x) && std::isfinite(y) && std::isfinite(z)) {
+        minx = std::min(minx, x);
+        miny = std::min(miny, y);
+      }
+    }
+  }
+  std::vector<double> sx(cells, 0), sy(cells, 0), sz(cells, 0);
+  std::vector<int32_t> cnt(cells, 0);
+  std::vector<int32_t> point_cell(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = pts[3 * i], y = pts[3 * i + 1], z = pts[3 * i + 2];
+    if (!(std::isfinite(x) && std::isfinite(y) && std::isfinite(z)))
+      continue;
+    const int ix = int(std::floor((x - minx) / cell_size));
+    const int iy = int(std::floor((y - miny) / cell_size));
+    if (ix < 0 || ix >= gx || iy < 0 || iy >= gy) continue;
+    const int c = ix * gy + iy;
+    sx[c] += x; sy[c] += y; sz[c] += z; ++cnt[c];
+    point_cell[i] = c;
+  }
+  std::vector<MsV3> cell(cells);
+  for (int c = 0; c < cells; ++c) {
+    if (cnt[c] > 0)
+      cell[c] = {float(sx[c] / cnt[c]), float(sy[c] / cnt[c]),
+                 float(sz[c] / cnt[c])};
+  }
+
+  // union-find keyed by COL-MAJOR cell index (iy * gx + ix), matching the
+  // device CCL's root convention so dense ids come out identical
+  auto colmajor = [&](int c) { return (c % gy) * gx + (c / gy); };
+  std::vector<int32_t> parent(cells);
+  for (int c = 0; c < cells; ++c) parent[c] = c;
+  std::vector<int32_t> find_stack;
+  auto find = [&](int a) {
+    while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+    return a;
+  };
+  auto unite = [&](int a, int b) {
+    a = find(a); b = find(b);
+    if (a == b) return;
+    // keep the smaller col-major index as root
+    if (colmajor(a) < colmajor(b)) parent[b] = a; else parent[a] = b;
+  };
+  for (int ix = 0; ix < gx; ++ix) {
+    for (int iy = 0; iy < gy; ++iy) {
+      const int c = ix * gy + iy;
+      if (!cnt[c]) continue;
+      for (int dx = 0; dx <= half_win; ++dx) {
+        for (int dy = (dx == 0 ? 1 : -half_win); dy <= half_win; ++dy) {
+          const int jx = ix + dx, jy = iy + dy;
+          if (jx < 0 || jx >= gx || jy < 0 || jy >= gy) continue;
+          const int q = jx * gy + jy;
+          if (!cnt[q]) continue;
+          if (ms_d2(cell[c], cell[q]) < sq_dist) unite(c, q);
+        }
+      }
+    }
+  }
+
+  // per-component point counts; accepted roots in ascending col-major
+  std::vector<int64_t> comp_pts(cells, 0);
+  for (int c = 0; c < cells; ++c)
+    if (cnt[c]) comp_pts[find(c)] += cnt[c];
+  std::vector<int32_t> roots;
+  for (int c = 0; c < cells; ++c)
+    if (cnt[c] && find(c) == c && comp_pts[c] >= min_point_inliers)
+      roots.push_back(c);
+  std::sort(roots.begin(), roots.end(),
+            [&](int a, int b) { return colmajor(a) < colmajor(b); });
+  std::vector<int32_t> id_of(cells, -1);
+  for (size_t i = 0; i < roots.size(); ++i) id_of[roots[i]] = int(i);
+
+  for (int c = 0; c < cells; ++c)
+    cell_labels[c] = cnt[c] ? id_of[find(c)] : -1;
+  for (int64_t i = 0; i < n; ++i)
+    point_labels[i] = point_cell[i] >= 0 ? cell_labels[point_cell[i]] : -1;
+  return int32_t(roots.size());
+}
+
+}  // extern "C"

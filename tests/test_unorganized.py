@@ -149,3 +149,34 @@ def test_mean_shift_host_backend_matches_exact_port():
         backend="device")
     la, lb = np.asarray(a.point_labels), np.asarray(b.point_labels)
     assert (la == lb).mean() > 0.99, (la == lb).mean()
+
+
+def test_cluster_unorganized_host_matches_device():
+    """The native euclidean fast path (hostops.pcseg_cluster_unorganized)
+    must produce IDENTICAL point labels, counts, and sizes to the
+    jittable device path (same min-root id convention)."""
+    import numpy as np
+    from pcseg_tpu import native
+    from pcseg_tpu.models import unorganized
+    from pcseg_tpu.models.config import ClusterRegionConfig
+
+    if native.load_hostops() is None:
+        import pytest
+        pytest.skip("native hostops unavailable")
+
+    rng = np.random.default_rng(1)
+    pts = np.concatenate([
+        c + rng.normal(0, 0.4, (6_000, 3)).astype(np.float32)
+        for c in np.array([[0, 0, 0], [30, 0, 0], [0, 35, 0], [40, 40, 0]],
+                          np.float32)])
+    pts[rng.random(len(pts)) < 0.02] = np.nan
+    cfg = ClusterRegionConfig(min_region_inliers=500)
+    a = unorganized.cluster_unorganized(pts, cfg, cell_size=0.5,
+                                        grid_shape=(256, 256))
+    b = unorganized.cluster_unorganized_host(pts, cfg, cell_size=0.5,
+                                             grid_shape=(256, 256))
+    assert int(np.asarray(a.num_regions)) == int(np.asarray(b.num_regions))
+    np.testing.assert_array_equal(np.asarray(a.point_labels),
+                                  np.asarray(b.point_labels))
+    np.testing.assert_array_equal(np.asarray(a.region_sizes),
+                                  np.asarray(b.region_sizes))
