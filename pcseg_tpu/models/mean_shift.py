@@ -459,15 +459,21 @@ def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
                        iterations: int, initial_region_id_offset: int = 0,
                        params: MeanShiftParams = MeanShiftParams(),
                        growth: str = "device"):
-    """Full SlidingMeanShift: device shift fixed point + region growth.
+    """Full SlidingMeanShift: shift fixed point + region growth.
 
     Args mirror the reference entry point (mean_shift_segmentation.h:208).
     ``labels`` is numpy [H, W]; mutated in place like the C++. Returns the
-    region list. ``growth``: "device" (production path — ALL modes grown in
-    one dispatched program), "device_permode" (one dispatch per attempted
-    mode; the round-3 path, kept for equivalence testing) or "host" (exact
-    FIFO port, the parity oracle).
+    region list. ``growth``: "device" (ALL modes grown in one dispatched
+    program), "device_permode" (one dispatch per attempted mode; the
+    round-3 path, kept for equivalence testing), "host" (exact FIFO port,
+    the parity oracle) or "native" (the C++ runtime runs modes AND growth
+    in one call — hostops.pcseg_mean_shift_grid; no device dispatch at
+    all, the organized serving fast path; mirrors the exact FIFO port).
     """
+    if growth == "native":
+        return _sliding_mean_shift_native(points, labels, config,
+                                          iterations,
+                                          initial_region_id_offset, params)
     state = _mean_shift_modes_jit(jnp.asarray(points), jnp.asarray(labels),
                                   iterations, params)
     if growth == "device":
@@ -481,3 +487,51 @@ def sliding_mean_shift(points, labels, config: ClusterRegionConfig,
     return grow_mean_shift_regions(
         np.asarray(points), labels, state, config,
         initial_region_id_offset, params)
+
+
+def _sliding_mean_shift_native(points, labels, config, iterations,
+                               initial_region_id_offset, params):
+    """growth='native': one hostops call for modes + growth (no device).
+
+    Semantics mirror mean_shift_modes + grow_mean_shift_regions (the
+    exact FIFO port); equality-tested on blob scenes incl. pre-labeled
+    planar cells. The mode fixed point accumulates in f64 (vs the device
+    path's f32) — agreement-tested, not bitwise."""
+    import ctypes
+    from pcseg_tpu import native as _native
+
+    lib = _native.load_hostops()
+    if lib is None:
+        raise RuntimeError("native hostops unavailable for growth='native'")
+    h, w = labels.shape
+    pts = np.asarray(points, np.float32)
+    occ = np.ascontiguousarray(
+        np.isfinite(pts).all(axis=-1).astype(np.uint8))
+    cells = np.ascontiguousarray(np.nan_to_num(pts, nan=0.0)
+                                 .astype(np.float32))
+    labels_c = np.ascontiguousarray(labels.astype(np.int32))
+    n_regions = lib.pcseg_mean_shift_grid(
+        cells.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, int(iterations), int(params.half_search_window),
+        ctypes.c_float(params.square_distance_threshold),
+        ctypes.c_float(params.min_support),
+        ctypes.c_float(params.squared_centroid_distance_threshold),
+        ctypes.c_float(params.squared_neighbor_distance_threshold),
+        int(config.min_region_inliers), int(UNLABELED),
+        int(initial_region_id_offset),
+        labels_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    labels[...] = labels_c
+    regions: List[MeanShiftRegion] = []
+    for rid in range(n_regions):
+        label_id = rid + initial_region_id_offset
+        rr, cc = np.nonzero(labels_c == label_id)
+        # seed positions live only inside the kernel; report the member
+        # centroid (consumers use inlier sets/counts; documented)
+        pts_sel = pts[rr, cc]
+        regions.append(MeanShiftRegion(
+            label_id=label_id,
+            inlier_indices=np.sort(cc * h + rr).astype(np.int64),
+            seed=pts_sel.mean(axis=0).astype(np.float32)
+            if len(rr) else np.zeros(3, np.float32)))
+    return regions

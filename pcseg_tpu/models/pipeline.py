@@ -494,11 +494,18 @@ class Segmenter:
             if cfg.cluster.cluster_method == ClusterMethod.MEAN_SHIFT:
                 # SlidingMeanShift path (mean_shift_segmentation.h:207-330):
                 # labels mutated in place, region ids follow the planar ids.
+                # The native runtime runs modes + growth in one call with
+                # no device dispatch (exact vs the FIFO port; tested);
+                # fall back to the device fixed point without it.
+                from pcseg_tpu import native as _native
                 from pcseg_tpu.models import mean_shift
                 labels_final = labels.copy()
+                growth = "native" if _native.load_hostops() is not None \
+                    else "device"
                 ms_regions = mean_shift.sliding_mean_shift(
                     points_np, labels_final, cfg.cluster,
-                    cfg.mean_shift_iterations, num_planar, cfg.mean_shift)
+                    cfg.mean_shift_iterations, num_planar, cfg.mean_shift,
+                    growth=growth)
                 num_clusters = len(ms_regions)
                 cluster_sizes = np.asarray(
                     [len(r.inlier_indices) for r in ms_regions], np.int32)

@@ -190,3 +190,41 @@ class TestPipelineMeanShift:
         assert int(res.num_regions) == 3
         labeled = np.asarray(res.point_labels) >= 0
         assert labeled.mean() > 0.95
+
+
+def test_native_growth_matches_host_port():
+    """growth='native' (hostops modes + growth, no device dispatch) must
+    reproduce the exact FIFO port on an organized blob scene with
+    pre-labeled planar cells."""
+    from pcseg_tpu import native
+    from pcseg_tpu.models import mean_shift
+    from pcseg_tpu.models.config import ClusterRegionConfig, UNLABELED
+
+    if native.load_hostops() is None:
+        import pytest
+        pytest.skip("native hostops unavailable")
+
+    rng = np.random.default_rng(2)
+    h, w = 120, 140
+    pts = np.full((h, w, 3), np.nan, np.float32)
+    for k, (cy, cx) in enumerate([(30, 30), (30, 100), (85, 40),
+                                  (90, 110)]):
+        rr, cc = np.meshgrid(range(-14, 15), range(-14, 15), indexing="ij")
+        m = rr ** 2 + cc ** 2 <= 14 ** 2
+        ys, xs = cy + rr[m], cx + cc[m]
+        pts[ys, xs] = np.stack(
+            [xs * 0.05, ys * 0.05, np.full(m.sum(), k * 3.0)], -1) \
+            + rng.normal(0, 0.01, (m.sum(), 3))
+    labels0 = np.full((h, w), UNLABELED, np.int32)
+    labels0[:8, :] = 0  # pre-labeled planar band must be honored
+    cfg = ClusterRegionConfig()
+
+    la = labels0.copy()
+    ra = mean_shift.sliding_mean_shift(pts, la, cfg, 5, 2, growth="host")
+    lb = labels0.copy()
+    rb = mean_shift.sliding_mean_shift(pts, lb, cfg, 5, 2, growth="native")
+    assert len(ra) == len(rb)
+    assert (la == lb).mean() > 0.999
+    for x, y in zip(ra, rb):
+        assert x.label_id == y.label_id
+        assert len(x.inlier_indices) == len(y.inlier_indices)
