@@ -341,3 +341,30 @@ class TestSegmentFrameStream:
         for oa, ob in zip(a.objects, b.objects):
             np.testing.assert_array_equal(oa.points, ob.points)
             assert oa.object_class == ob.object_class
+
+
+class TestStreamMeanShift:
+    def test_stream_equals_classic_mean_shift(self):
+        """segment_frame_stream with ClusterMethod.MEAN_SHIFT (planar
+        payload without the optimistic euclidean pass + host mean shift)
+        must equal segment_frame on the same u16 payload."""
+        from pcseg_tpu.models import pipeline
+        from pcseg_tpu.models.config import (ClusterMethod,
+                                             ClusterRegionConfig)
+        from pcseg_tpu.ops import unproject
+        from pcseg_tpu.utils.synthetic import synthetic_cluttered_room_cloud
+
+        H, W = 96, 128
+        pts, origin = synthetic_cluttered_room_cloud(H, W, f=float(H),
+                                                     seed=5)
+        rays = unproject.camera_ray_table(H, W, f=float(H))
+        d16 = unproject.encode_range(pts)
+        cfg = pipeline.SegmenterConfig(cluster=ClusterRegionConfig(
+            cluster_method=ClusterMethod.MEAN_SHIFT))
+        seg = pipeline.Segmenter(cfg)
+        a = seg.segment_frame(unproject.unproject_range_np(d16, rays),
+                              origin)
+        b = seg.segment_frame_stream(d16, rays, origin)
+        assert a.metrics == b.metrics
+        assert a.metrics.num_clusters >= 1  # mean shift actually ran
+        np.testing.assert_array_equal(a.labels, b.labels)
