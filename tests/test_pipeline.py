@@ -368,3 +368,42 @@ class TestStreamMeanShift:
         assert a.metrics == b.metrics
         assert a.metrics.num_clusters >= 1  # mean shift actually ran
         np.testing.assert_array_equal(a.labels, b.labels)
+
+
+class TestDegenerateInputs:
+    """Edge probes: the full pipeline must survive inputs outside every
+    window/gate regime (all-NaN, grids smaller than the scan/seed
+    windows, single pixels) without exceptions and with coherent
+    metrics."""
+
+    def _run(self, pts):
+        from pcseg_tpu.models import pipeline
+        seg = pipeline.Segmenter()
+        return seg.segment_frame(pts, np.zeros(3, np.float32))
+
+    def test_all_nan(self):
+        r = self._run(np.full((24, 32, 3), np.nan, np.float32))
+        assert r.metrics.num_planar_regions == 0
+        assert r.metrics.num_clusters == 0
+        assert (r.labels == -1).all()
+
+    def test_grid_smaller_than_windows(self):
+        tiny = np.zeros((3, 3, 3), np.float32)
+        tiny[..., 0] = 1.0
+        r = self._run(tiny)
+        assert r.metrics.num_planar_regions == 0
+        assert r.metrics.num_clusters == 1  # 9 coincident-ish points
+
+    def test_single_pixel(self):
+        r = self._run(np.ones((1, 1, 3), np.float32))
+        assert r.metrics.num_planar_regions == 0
+        assert r.metrics.num_clusters == 0  # below min 7 inliers
+
+    def test_plane_below_area_gate_falls_to_cluster(self):
+        small = np.zeros((12, 12, 3), np.float32)
+        small[..., 0] = np.linspace(1, 1.05, 12)[None, :]
+        small[..., 1] = np.linspace(0, 0.05, 12)[:, None]
+        small[..., 2] = -0.5
+        r = self._run(small)
+        assert r.metrics.num_planar_regions == 0
+        assert r.metrics.num_clusters == 1
